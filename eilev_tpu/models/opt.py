@@ -1,0 +1,376 @@
+"""OPT decoder-only language model (flax.linen) with a TPU-native KV cache.
+
+Parity target: ``transformers.OPTForCausalLM`` (the LM inside
+``VideoBlipForConditionalGeneration``, reference /root/reference/eilev/model/v2.py:124).
+
+Numerical quirks preserved from HF OPT:
+  - learned positional embeddings with offset 2, positions derived from the
+    attention-mask cumsum (``cumsum(mask) * mask - 1``), which makes left-padded
+    batches decode identically to unpadded ones;
+  - query scaled by head_dim**-0.5 *before* the QK matmul;
+  - softmax computed in float32;
+  - masking with the dtype's most-negative finite value (not -inf).
+
+TPU-native design choices (not ports):
+  - The KV cache is a single pytree of fixed-shape arrays stacked over layers,
+    updated with ``lax.dynamic_update_slice`` - jit/pjit friendly, shardable over
+    (data, heads) mesh axes.
+  - ``classify``-style scoring attends class continuations against a *shared*
+    prompt cache with an extra class dimension instead of ``repeat_interleave``-ing
+    the cache (reference v2.py:457-459 materializes batch*num_classes KV copies; we
+    materialize none - only the (B, C, H, L, P) score tile, which is small because
+    class sequences are short).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import OPTConfig
+from ..ops.attention import (
+    dot_product_attention,
+    make_causal_bias,
+    mask_to_bias,
+)
+
+Cache = dict[str, Any]
+
+
+def opt_position_ids(attention_mask: jax.Array) -> jax.Array:
+    """HF OPT position ids: cumsum(mask) * mask - 1 (padding gets -1, which maps to
+    embedding row 1 after the +2 offset, exactly like torch)."""
+    mask = attention_mask.astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask - 1
+
+
+def init_cache(config: OPTConfig, batch: int, max_len: int, dtype=jnp.float32) -> Cache:
+    """Preallocate a fixed-shape KV cache.
+
+    Layout: k/v are (num_layers, batch, max_len, num_heads, head_dim). ``index`` is
+    the number of filled positions; ``mask`` carries the 0/1 attention mask of the
+    filled prefix (so left padding inside the prompt keeps masking during decode);
+    ``pos`` is the next position id per sequence (count of attended tokens so far).
+    """
+    shape = (config.num_hidden_layers, batch, max_len, config.num_attention_heads, config.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "index": jnp.zeros((), jnp.int32),
+        "mask": jnp.zeros((batch, max_len), jnp.int32),
+        "pos": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+class OPTAttention(nn.Module):
+    config: OPTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        d = self.config.hidden_size
+        self.q_proj = nn.Dense(d, dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(d, dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(d, dtype=self.dtype, name="v_proj")
+        self.out_proj = nn.Dense(d, dtype=self.dtype, name="out_proj")
+
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        bias: Optional[jax.Array],
+        cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
+        cfg = self.config
+        b, s, d = hidden_states.shape
+        nh, hd = cfg.num_attention_heads, cfg.head_dim
+        q = self.q_proj(hidden_states).reshape(b, s, nh, hd)
+        k = self.k_proj(hidden_states).reshape(b, s, nh, hd)
+        v = self.v_proj(hidden_states).reshape(b, s, nh, hd)
+
+        new_kv = None
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            new_kv = (ck, cv)
+            k, v = ck, cv
+
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            bias=bias,
+            scale=hd**-0.5,
+            scale_query_first=True,  # HF OPT scales q before the matmul
+            softmax_in_fp32=True,
+        )
+        out = out.reshape(b, s, d)
+        return self.out_proj(out), new_kv
+
+    def shared_prefix(
+        self,
+        hidden_states: jax.Array,
+        prefix_k: jax.Array,
+        prefix_v: jax.Array,
+        prefix_bias: jax.Array,
+        self_bias: jax.Array,
+    ) -> jax.Array:
+        """Attention for (B, C, L, D) class tokens over a shared (B, P) prompt cache.
+
+        prefix_bias: broadcastable to (B, C, H, L, P); self_bias: to (B, C, H, L, L).
+        """
+        cfg = self.config
+        b, c, l, d = hidden_states.shape
+        nh, hd = cfg.num_attention_heads, cfg.head_dim
+        scale = hd**-0.5
+        q = (self.q_proj(hidden_states) * scale).reshape(b, c, l, nh, hd)
+        k = self.k_proj(hidden_states).reshape(b, c, l, nh, hd)
+        v = self.v_proj(hidden_states).reshape(b, c, l, nh, hd)
+        # (B, C, H, L, P): queries against the shared prompt keys
+        scores_p = jnp.einsum("bclhd,bphd->bchlp", q, prefix_k) + prefix_bias
+        # (B, C, H, L, L): causal self-attention within each class continuation
+        scores_s = jnp.einsum("bclhd,bcmhd->bchlm", q, k) + self_bias
+        scores = jnp.concatenate([scores_p, scores_s], axis=-1).astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(hidden_states.dtype)
+        p_len = prefix_k.shape[1]
+        ctx = jnp.einsum("bchlp,bphd->bclhd", probs[..., :p_len], prefix_v) + jnp.einsum(
+            "bchlm,bcmhd->bclhd", probs[..., p_len:], v
+        )
+        return self.out_proj(ctx.reshape(b, c, l, d))
+
+
+class OPTDecoderLayer(nn.Module):
+    config: OPTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.self_attn = OPTAttention(cfg, dtype=self.dtype, name="self_attn")
+        self.self_attn_layer_norm = nn.LayerNorm(use_fast_variance=False, 
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="self_attn_layer_norm"
+        )
+        self.final_layer_norm = nn.LayerNorm(use_fast_variance=False, 
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm"
+        )
+        self.fc1 = nn.Dense(cfg.ffn_dim, dtype=self.dtype, name="fc1")
+        self.fc2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")
+
+    def _act(self, x: jax.Array) -> jax.Array:
+        if self.config.activation_function == "relu":
+            return nn.relu(x)
+        return nn.gelu(x, approximate=False)
+
+    def _mlp(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        residual = x
+        if cfg.do_layer_norm_before:
+            x = self.final_layer_norm(x)
+        x = self.fc2(self._act(self.fc1(x)))
+        x = residual + x
+        if not cfg.do_layer_norm_before:
+            x = self.final_layer_norm(x)
+        return x
+
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        bias: Optional[jax.Array],
+        cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
+        cfg = self.config
+        residual = hidden_states
+        x = hidden_states
+        if cfg.do_layer_norm_before:
+            x = self.self_attn_layer_norm(x)
+        x, new_kv = self.self_attn(x, bias, cache_kv=cache_kv, cache_index=cache_index)
+        x = residual + x
+        if not cfg.do_layer_norm_before:
+            x = self.self_attn_layer_norm(x)
+        return self._mlp(x), new_kv
+
+    def shared_prefix(
+        self,
+        hidden_states: jax.Array,
+        prefix_k: jax.Array,
+        prefix_v: jax.Array,
+        prefix_bias: jax.Array,
+        self_bias: jax.Array,
+    ) -> jax.Array:
+        cfg = self.config
+        residual = hidden_states
+        x = hidden_states
+        if cfg.do_layer_norm_before:
+            x = self.self_attn_layer_norm(x)
+        x = self.self_attn.shared_prefix(x, prefix_k, prefix_v, prefix_bias, self_bias)
+        x = residual + x
+        if not cfg.do_layer_norm_before:
+            x = self.self_attn_layer_norm(x)
+        return self._mlp(x)
+
+
+class OPTForCausalLM(nn.Module):
+    """Functional OPT with explicit cache input/output.
+
+    Methods (all reachable via ``module.apply(..., method=...)``):
+      - ``embed``: token ids -> input embeddings (word_embed_proj_dim space).
+      - ``__call__``: forward. With ``cache``, writes K/V at ``cache['index']`` and
+        attends over the whole cache; else plain causal attention. Returns
+        (logits, new_cache).
+      - ``score_with_prefix``: classify-style scoring against a shared prompt cache.
+    """
+
+    config: OPTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.word_embed_proj_dim, dtype=self.dtype, name="embed_tokens"
+        )
+        # +2 offset slots, like torch's OPTLearnedPositionalEmbedding
+        self.embed_positions = nn.Embed(
+            cfg.max_position_embeddings + 2,
+            cfg.hidden_size,
+            dtype=self.dtype,
+            name="embed_positions",
+        )
+        if cfg.word_embed_proj_dim != cfg.hidden_size:
+            self.project_in = nn.Dense(
+                cfg.hidden_size, use_bias=False, dtype=self.dtype, name="project_in"
+            )
+            self.project_out = nn.Dense(
+                cfg.word_embed_proj_dim, use_bias=False, dtype=self.dtype, name="project_out"
+            )
+        else:
+            self.project_in = None
+            self.project_out = None
+        self.layers = [
+            OPTDecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        if cfg.do_layer_norm_before:
+            self.final_norm = nn.LayerNorm(use_fast_variance=False, 
+                epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_norm"
+            )
+        else:
+            self.final_norm = None
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        return self.embed_tokens(input_ids)
+
+    def lm_head(self, hidden: jax.Array) -> jax.Array:
+        # Tied to embed_tokens, like OPTForCausalLM.
+        return self.embed_tokens.attend(hidden)
+
+    def _head(self, x: jax.Array) -> jax.Array:
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        if self.project_out is not None:
+            x = self.project_out(x)
+        return self.lm_head(x)
+
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        position_ids: Optional[jax.Array] = None,
+        cache: Optional[Cache] = None,
+    ) -> tuple[jax.Array, Optional[Cache]]:
+        """inputs_embeds: (B, S, word_embed_proj_dim).
+
+        Without cache: ``attention_mask`` is the (B, S) padding mask, positions
+        derived HF-style. With cache: the S tokens are appended at
+        ``cache['index']``; ``attention_mask`` is their (B, S) mask (default ones);
+        padding of the already-cached prefix is tracked inside the cache.
+        """
+        cfg = self.config
+        b, s, _ = inputs_embeds.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), jnp.int32)
+        attention_mask = attention_mask.astype(jnp.int32)
+
+        if cache is None:
+            if position_ids is None:
+                position_ids = opt_position_ids(attention_mask)
+            bias = make_causal_bias(s, s, dtype=jnp.float32) + mask_to_bias(
+                attention_mask.astype(bool)
+            )[:, None, None, :]
+            cache_index = None
+            kv_slices: list[Optional[tuple[jax.Array, jax.Array]]] = [None] * cfg.num_hidden_layers
+            new_cache = None
+        else:
+            index = cache["index"]
+            max_len = cache["k"].shape[2]
+            full_mask = jax.lax.dynamic_update_slice(cache["mask"], attention_mask, (0, index))
+            new_counts = jnp.cumsum(attention_mask, axis=1)
+            if position_ids is None:
+                position_ids = (cache["pos"][:, None] + new_counts) * attention_mask - 1
+            new_pos = cache["pos"] + new_counts[:, -1]
+            # causal over absolute cache positions + padding mask over the cache;
+            # unwritten cache slots (mask 0) are masked out too.
+            bias = make_causal_bias(s, max_len, offset=index, dtype=jnp.float32) + mask_to_bias(
+                full_mask.astype(bool)
+            )[:, None, None, :]
+            cache_index = index
+            kv_slices = [(cache["k"][i], cache["v"][i]) for i in range(cfg.num_hidden_layers)]
+            new_cache = {"index": index + s, "mask": full_mask, "pos": new_pos}
+
+        pos_embeds = self.embed_positions(position_ids + 2)
+        x = inputs_embeds
+        if self.project_in is not None:
+            x = self.project_in(x)
+        x = x + pos_embeds
+
+        new_ks, new_vs = [], []
+        for i, layer in enumerate(self.layers):
+            x, new_kv = layer(x, bias, cache_kv=kv_slices[i], cache_index=cache_index)
+            if new_kv is not None:
+                new_ks.append(new_kv[0])
+                new_vs.append(new_kv[1])
+
+        logits = self._head(x)
+        if new_cache is not None:
+            new_cache["k"] = jnp.stack(new_ks)
+            new_cache["v"] = jnp.stack(new_vs)
+        return logits, new_cache
+
+    def score_with_prefix(
+        self,
+        class_embeds: jax.Array,
+        class_attention_mask: jax.Array,
+        cache: Cache,
+    ) -> jax.Array:
+        """Run (B, C, L) class continuations against a shared (B,) prompt cache.
+
+        Returns logits of shape (B, C, L, vocab). The prompt cache is read-only and
+        never duplicated across classes.
+        """
+        b, c, l, _ = class_embeds.shape
+        cls_mask = class_attention_mask.astype(jnp.int32)  # (B, C, L)
+
+        # positions continue per batch from the prompt
+        position_ids = (
+            cache["pos"][:, None, None] + jnp.cumsum(cls_mask, axis=-1)
+        ) * cls_mask - 1
+        pos_embeds = self.embed_positions(position_ids + 2)
+
+        x = class_embeds
+        if self.project_in is not None:
+            x = self.project_in(x)
+        x = x + pos_embeds
+
+        # (B, 1, 1, 1, P) prompt padding/unfilled-slot bias
+        prefix_bias = mask_to_bias(cache["mask"].astype(bool))[:, None, None, None, :]
+        # (1, 1, 1, L, L) causal + (B, C, 1, 1, L) class padding
+        self_bias = (
+            make_causal_bias(l, l, dtype=jnp.float32)[None]  # (1,1,1,L,L)
+            + mask_to_bias(cls_mask.astype(bool))[:, :, None, None, :]
+        )
+
+        for i, layer in enumerate(self.layers):
+            x = layer.shared_prefix(x, cache["k"][i], cache["v"][i], prefix_bias, self_bias)
+        return self._head(x)

@@ -1,0 +1,425 @@
+"""T5 encoder-decoder LM (flax.linen), flan-t5 flavor.
+
+Parity target: ``transformers.T5ForConditionalGeneration`` as used by the reference
+for blip2-flan-t5-xl (/root/reference/eilev/model/v2.py:126,229-238). Preserved
+numerics: RMS layer norm computed in fp32, no attention scaling (folded into the
+weights at T5 training time), relative-position bias owned by block 0 and shared
+down the stack, gated-gelu FFN with tanh-approximated gelu ("gelu_new"), untied
+LM head for flan checkpoints.
+
+Decode cache mirrors the OPT cache layout: stacked fixed-shape self-attention K/V
+per layer plus encoder cross K/V projected once at decode start.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import T5Config
+from ..ops.attention import dot_product_attention, make_causal_bias, mask_to_bias
+
+Cache = dict[str, Any]
+
+
+def relative_position_bucket(
+    relative_position: jax.Array, *, bidirectional: bool, num_buckets: int, max_distance: int
+) -> jax.Array:
+    """Exact port of HF's ``T5Attention._relative_position_bucket`` semantics."""
+    ret = jnp.zeros_like(relative_position)
+    n = relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret += (n > 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = -jnp.minimum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    # clamp inside the log: the large-branch value is only selected when n >= max_exact
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+def relative_positions(q_len: int, k_len: int, q_offset: int | jax.Array = 0) -> jax.Array:
+    """memory_position - query_position, (q_len, k_len)."""
+    ctx = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 0) + q_offset
+    mem = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 1)
+    return mem - ctx
+
+
+class T5LayerNorm(nn.Module):
+    config: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.config.layer_norm_epsilon)
+        return (scale * y.astype(self.dtype)).astype(self.dtype)
+
+
+class T5Attention(nn.Module):
+    config: T5Config
+    has_relative_attention_bias: bool = False
+    bidirectional: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        inner = cfg.inner_dim
+        self.q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="q")
+        self.k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="k")
+        self.v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="v")
+        self.o = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="o")
+        if self.has_relative_attention_bias:
+            self.relative_attention_bias = nn.Embed(
+                cfg.relative_attention_num_buckets,
+                cfg.num_heads,
+                dtype=self.dtype,
+                name="relative_attention_bias",
+            )
+
+    def compute_bias(self, q_len: int, k_len: int, q_offset: int | jax.Array = 0) -> jax.Array:
+        """(1, heads, q_len, k_len) relative position bias."""
+        cfg = self.config
+        buckets = relative_position_bucket(
+            relative_positions(q_len, k_len, q_offset),
+            bidirectional=self.bidirectional,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance,
+        )
+        values = self.relative_attention_bias(buckets)  # (q, k, heads)
+        return values.transpose(2, 0, 1)[None]
+
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        kv_states: Optional[jax.Array] = None,
+        bias: Optional[jax.Array] = None,
+        cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
+        cfg = self.config
+        b, s, _ = hidden_states.shape
+        nh, hd = cfg.num_heads, cfg.d_kv
+        kv_in = kv_states if kv_states is not None else hidden_states
+        q = self.q(hidden_states).reshape(b, s, nh, hd)
+        k = self.k(kv_in).reshape(b, kv_in.shape[1], nh, hd)
+        v = self.v(kv_in).reshape(b, kv_in.shape[1], nh, hd)
+        new_kv = None
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            new_kv = (ck, cv)
+            k, v = ck, cv
+        out = dot_product_attention(q, k, v, bias=bias, scale=None)  # T5: no scaling
+        return self.o(out.reshape(b, s, nh * hd)), new_kv
+
+    def cross_kv(self, encoder_hidden: jax.Array) -> tuple[jax.Array, jax.Array]:
+        cfg = self.config
+        b, l, _ = encoder_hidden.shape
+        k = self.k(encoder_hidden).reshape(b, l, cfg.num_heads, cfg.d_kv)
+        v = self.v(encoder_hidden).reshape(b, l, cfg.num_heads, cfg.d_kv)
+        return k, v
+
+    def cross_attend(
+        self, hidden_states: jax.Array, k: jax.Array, v: jax.Array, bias: Optional[jax.Array]
+    ) -> jax.Array:
+        cfg = self.config
+        b, s, _ = hidden_states.shape
+        q = self.q(hidden_states).reshape(b, s, cfg.num_heads, cfg.d_kv)
+        out = dot_product_attention(q, k, v, bias=bias, scale=None)
+        return self.o(out.reshape(b, s, cfg.inner_dim))
+
+
+class T5FF(nn.Module):
+    config: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.layer_norm = T5LayerNorm(cfg, dtype=self.dtype, name="layer_norm")
+        if cfg.is_gated_act:
+            self.wi_0 = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name="wi_0")
+            self.wi_1 = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name="wi_1")
+        else:
+            self.wi = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name="wi")
+        self.wo = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="wo")
+
+    def _act(self, x: jax.Array) -> jax.Array:
+        if self.config.dense_act_fn == "gelu_new":
+            return nn.gelu(x, approximate=True)
+        if self.config.dense_act_fn == "relu":
+            return nn.relu(x)
+        return nn.gelu(x, approximate=False)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = self.layer_norm(x)
+        if self.config.is_gated_act:
+            h = self._act(self.wi_0(h)) * self.wi_1(h)
+        else:
+            h = self._act(self.wi(h))
+        return x + self.wo(h)
+
+
+class T5SelfAttentionLayer(nn.Module):
+    config: T5Config
+    has_relative_attention_bias: bool = False
+    bidirectional: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.layer_norm = T5LayerNorm(self.config, dtype=self.dtype, name="layer_norm")
+        self.attention = T5Attention(
+            self.config,
+            has_relative_attention_bias=self.has_relative_attention_bias,
+            bidirectional=self.bidirectional,
+            dtype=self.dtype,
+            name="attention",
+        )
+
+    def __call__(self, x, bias=None, cache_kv=None, cache_index=None):
+        h = self.layer_norm(x)
+        out, new_kv = self.attention(h, bias=bias, cache_kv=cache_kv, cache_index=cache_index)
+        return x + out, new_kv
+
+
+class T5CrossAttentionLayer(nn.Module):
+    config: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.layer_norm = T5LayerNorm(self.config, dtype=self.dtype, name="layer_norm")
+        self.attention = T5Attention(self.config, bidirectional=True, dtype=self.dtype, name="attention")
+
+    def __call__(self, x, k, v, bias=None):
+        h = self.layer_norm(x)
+        return x + self.attention.cross_attend(h, k, v, bias)
+
+    def kv(self, encoder_hidden):
+        return self.attention.cross_kv(encoder_hidden)
+
+
+class T5EncoderLayer(nn.Module):
+    config: T5Config
+    has_relative_attention_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.self_attention = T5SelfAttentionLayer(
+            self.config,
+            has_relative_attention_bias=self.has_relative_attention_bias,
+            bidirectional=True,
+            dtype=self.dtype,
+            name="self_attention",
+        )
+        self.ff = T5FF(self.config, dtype=self.dtype, name="ff")
+
+    def __call__(self, x, bias):
+        x, _ = self.self_attention(x, bias=bias)
+        return self.ff(x)
+
+
+class T5DecoderLayer(nn.Module):
+    config: T5Config
+    has_relative_attention_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.self_attention = T5SelfAttentionLayer(
+            self.config,
+            has_relative_attention_bias=self.has_relative_attention_bias,
+            bidirectional=False,
+            dtype=self.dtype,
+            name="self_attention",
+        )
+        self.cross_attention = T5CrossAttentionLayer(self.config, dtype=self.dtype, name="cross_attention")
+        self.ff = T5FF(self.config, dtype=self.dtype, name="ff")
+
+    def __call__(self, x, self_bias, cross_k, cross_v, cross_bias, cache_kv=None, cache_index=None):
+        x, new_kv = self.self_attention(x, bias=self_bias, cache_kv=cache_kv, cache_index=cache_index)
+        x = self.cross_attention(x, cross_k, cross_v, bias=cross_bias)
+        return self.ff(x), new_kv
+
+
+class T5Encoder(nn.Module):
+    config: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.layers = [
+            T5EncoderLayer(
+                cfg, has_relative_attention_bias=(i == 0), dtype=self.dtype, name=f"layers_{i}"
+            )
+            for i in range(cfg.num_layers)
+        ]
+        self.final_layer_norm = T5LayerNorm(cfg, dtype=self.dtype, name="final_layer_norm")
+
+    def __call__(self, inputs_embeds: jax.Array, attention_mask: Optional[jax.Array]) -> jax.Array:
+        s = inputs_embeds.shape[1]
+        bias = self.layers[0].self_attention.attention.compute_bias(s, s)
+        if attention_mask is not None:
+            bias = bias + mask_to_bias(attention_mask.astype(bool))[:, None, None, :]
+        x = inputs_embeds
+        for layer in self.layers:
+            x = layer(x, bias)
+        return self.final_layer_norm(x)
+
+
+class T5Decoder(nn.Module):
+    config: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.layers = [
+            T5DecoderLayer(
+                cfg, has_relative_attention_bias=(i == 0), dtype=self.dtype, name=f"layers_{i}"
+            )
+            for i in range(cfg.num_decoder_layers)
+        ]
+        self.final_layer_norm = T5LayerNorm(cfg, dtype=self.dtype, name="final_layer_norm")
+
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,
+        encoder_hidden: jax.Array,
+        encoder_attention_mask: Optional[jax.Array],
+        decoder_attention_mask: Optional[jax.Array] = None,
+        cache: Optional[Cache] = None,
+    ) -> tuple[jax.Array, Optional[Cache]]:
+        b, s, _ = inputs_embeds.shape
+        rel = self.layers[0].self_attention.attention
+        cross_bias = (
+            mask_to_bias(encoder_attention_mask.astype(bool))[:, None, None, :]
+            if encoder_attention_mask is not None
+            else None
+        )
+        if cache is None:
+            self_bias = rel.compute_bias(s, s) + make_causal_bias(s, s, dtype=jnp.float32)
+            if decoder_attention_mask is not None:
+                self_bias = self_bias + mask_to_bias(decoder_attention_mask.astype(bool))[
+                    :, None, None, :
+                ]
+            cache_index = None
+            kv_slices: list = [None] * len(self.layers)
+            cross = [layer.cross_attention.kv(encoder_hidden) for layer in self.layers]
+            new_cache = None
+        else:
+            index = cache["index"]
+            max_len = cache["k"].shape[2]
+            filled = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1) < (index + s)
+            self_bias = rel.compute_bias(s, max_len, q_offset=index) + make_causal_bias(
+                s, max_len, offset=index, dtype=jnp.float32
+            )
+            self_bias = self_bias + mask_to_bias(filled)[:, None, None, :]
+            cache_index = index
+            kv_slices = [(cache["k"][i], cache["v"][i]) for i in range(len(self.layers))]
+            cross = [(cache["cross_k"][i], cache["cross_v"][i]) for i in range(len(self.layers))]
+            new_cache = dict(cache)
+            new_cache["index"] = index + s
+
+        x = inputs_embeds
+        new_ks, new_vs = [], []
+        for i, layer in enumerate(self.layers):
+            ck, cv = cross[i]
+            x, new_kv = layer(
+                x, self_bias, ck, cv, cross_bias, cache_kv=kv_slices[i], cache_index=cache_index
+            )
+            if new_kv is not None:
+                new_ks.append(new_kv[0])
+                new_vs.append(new_kv[1])
+        x = self.final_layer_norm(x)
+        if new_cache is not None:
+            new_cache["k"] = jnp.stack(new_ks)
+            new_cache["v"] = jnp.stack(new_vs)
+        return x, new_cache
+
+    def make_cross_kv(self, encoder_hidden: jax.Array) -> tuple[jax.Array, jax.Array]:
+        ks, vs = [], []
+        for layer in self.layers:
+            k, v = layer.cross_attention.kv(encoder_hidden)
+            ks.append(k)
+            vs.append(v)
+        return jnp.stack(ks), jnp.stack(vs)
+
+
+class T5ForConditionalGeneration(nn.Module):
+    config: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype, name="shared")
+        self.encoder = T5Encoder(cfg, dtype=self.dtype, name="encoder")
+        self.decoder = T5Decoder(cfg, dtype=self.dtype, name="decoder")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head")
+        else:
+            self.lm_head = None
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        return self.shared(input_ids)
+
+    def _head(self, hidden: jax.Array) -> jax.Array:
+        if self.config.tie_word_embeddings:
+            hidden = hidden * (self.config.d_model**-0.5)
+            return self.shared.attend(hidden)
+        return self.lm_head(hidden)
+
+    def encode(self, inputs_embeds: jax.Array, attention_mask: Optional[jax.Array]) -> jax.Array:
+        return self.encoder(inputs_embeds, attention_mask)
+
+    def __call__(
+        self,
+        encoder_inputs_embeds: jax.Array,
+        encoder_attention_mask: Optional[jax.Array] = None,
+        decoder_input_ids: Optional[jax.Array] = None,
+        decoder_attention_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        encoder_hidden = self.encoder(encoder_inputs_embeds, encoder_attention_mask)
+        dec_embeds = self.shared(decoder_input_ids)
+        hidden, _ = self.decoder(
+            dec_embeds, encoder_hidden, encoder_attention_mask, decoder_attention_mask
+        )
+        return self._head(hidden)
+
+    def init_decode_cache(
+        self, encoder_hidden: jax.Array, max_len: int
+    ) -> Cache:
+        cfg = self.config
+        b = encoder_hidden.shape[0]
+        cross_k, cross_v = self.decoder.make_cross_kv(encoder_hidden)
+        shape = (cfg.num_decoder_layers, b, max_len, cfg.num_heads, cfg.d_kv)
+        return {
+            "k": jnp.zeros(shape, self.dtype),
+            "v": jnp.zeros(shape, self.dtype),
+            "cross_k": cross_k,
+            "cross_v": cross_v,
+            "index": jnp.zeros((), jnp.int32),
+        }
+
+    def decode_step(
+        self,
+        decoder_input_ids: jax.Array,
+        encoder_hidden: jax.Array,
+        encoder_attention_mask: Optional[jax.Array],
+        cache: Cache,
+    ) -> tuple[jax.Array, Cache]:
+        dec_embeds = self.shared(decoder_input_ids)
+        hidden, new_cache = self.decoder(
+            dec_embeds, encoder_hidden, encoder_attention_mask, cache=cache
+        )
+        return self._head(hidden), new_cache
