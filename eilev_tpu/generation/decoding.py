@@ -358,8 +358,16 @@ def generate(
         attention_mask = jnp.ones_like(input_ids)
 
     inputs_embeds = model.apply(
-        variables, input_ids, pixel_values, video_input_mask, method=VB.embed_and_scatter
+        variables, input_ids, pixel_values, video_input_mask, method=type(model).embed_and_scatter
     )
+    if inputs_embeds.shape[1] != attention_mask.shape[1]:
+        # v1 prepends video features; extend the mask with ones on the left
+        # (reference-era Blip2ForConditionalGeneration.generate behavior)
+        prefix = jnp.ones(
+            (attention_mask.shape[0], inputs_embeds.shape[1] - attention_mask.shape[1]),
+            attention_mask.dtype,
+        )
+        attention_mask = jnp.concatenate([prefix, attention_mask], axis=1)
 
     if isinstance(cfg.text_config, OPTConfig):
         if gen_cfg.num_beams > 1:
