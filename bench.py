@@ -1,0 +1,151 @@
+"""Headline benchmark: 16-shot Ego4D ICL narration generation throughput.
+
+Mirrors the reference's flagship eval workload (BASELINE.md north star):
+eilev-blip2-opt-2.7b geometry, 17 videos (16 in-context shots + 1 query) x
+8 frames x 224^2, interleaved prompt (~17*(32+1) video tokens + instruction/
+narration text), greedy decode of 32 new tokens - the exact shape of one
+datapoint of scripts/general/generate_narration_texts.py in the reference
+(slurm-scripts/README.md:71-76: 4xA40, batch 1/GPU, 24 h budget).
+
+Weights are random (no Hub access in this environment) at the real geometry -
+identical compute cost to the published checkpoint. Runs in bfloat16 on one
+TPU chip; prefill + 32-token decode measured end to end (host->device transfer
+of the frame batch included).
+
+``vs_baseline``: the reference publishes no machine-readable throughput
+(SURVEY.md section 6). We use an estimated 8xA40 reference throughput of
+27.6 videos/s TOTAL (8 x 150 TFLOP/s fp16 peak x 10% MFU - generous for
+batch-1 HF eager decoding - over the ~74 TFLOPs/datapoint this workload costs),
+i.e. 3.45 videos/s per accelerator, and report
+    vs_baseline = measured_videos_per_sec_on_one_chip / 3.45
+so >1.0 means one v5e chip beats one A40 on the reference's own workload.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eilev_tpu import configs
+from eilev_tpu.generation import GenerationConfig
+from eilev_tpu.generation.decoding import _greedy_sample_decoder_only
+from eilev_tpu.models import VideoBlipForConditionalGeneration
+from eilev_tpu.models.video_blip import VideoBlipForConditionalGeneration as VB
+
+SHOTS = 16
+FRAMES = 8
+MAX_NEW_TOKENS = 32
+TEXT_TOKENS_PER_SHOT = 12  # instruction/narration text per shot, ~EILeV prompts
+REPS = 5
+EST_REFERENCE_VIDEOS_PER_SEC_PER_ACCEL = 3.45
+
+
+def build_prompt(cfg, batch=1):
+    """Interleaved 16-shot prompt layout per the data contract
+    (eilev_tpu/data/prompts.py): bos + per-video [32 pads + newline] + text."""
+    v = SHOTS + 1
+    q = cfg.num_query_tokens
+    rng = np.random.default_rng(0)
+    ids, vim = [2], [0]  # bos
+    for _ in range(v):
+        ids += [1] * q + [50118]
+        vim += [1] * q + [0]
+        toks = rng.integers(1000, 40000, size=TEXT_TOKENS_PER_SHOT).tolist()
+        ids += toks
+        vim += [0] * len(toks)
+    ids = np.asarray([ids] * batch)
+    vim = np.asarray([vim] * batch)
+    mask = np.ones_like(ids)
+    return ids, mask, vim
+
+
+def random_bf16_params(model, example):
+    """Init at full geometry directly in bf16 on device: eval_shape for the tree,
+    then one jitted program filling every leaf (no fp32 15 GB intermediate)."""
+    shapes = jax.eval_shape(
+        lambda k, i, p, m: model.init(k, input_ids=i, pixel_values=p, video_input_mask=m),
+        jax.random.PRNGKey(0),
+        example["input_ids"],
+        example["pixel_values"],
+        example["video_input_mask"],
+    )["params"]
+    leaves, treedef = jax.tree.flatten(shapes)
+
+    @jax.jit
+    def make(key):
+        keys = jax.random.split(key, len(leaves))
+        out = []
+        for k, leaf in zip(keys, leaves):
+            out.append((jax.random.normal(k, leaf.shape, jnp.bfloat16) * 0.02))
+        return jax.tree.unflatten(treedef, out)
+
+    return make(jax.random.PRNGKey(42))
+
+
+def main() -> None:
+    cfg = configs.blip2_opt_2_7b()
+    model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.bfloat16)
+
+    batch = 1
+    v = batch * (SHOTS + 1)
+    ids, mask, vim = build_prompt(cfg, batch)
+    pixel_host = np.random.default_rng(1).normal(size=(v, 3, FRAMES, 224, 224)).astype(np.float32)
+
+    example = {
+        "input_ids": jax.ShapeDtypeStruct(ids.shape, jnp.int32),
+        "pixel_values": jax.ShapeDtypeStruct(pixel_host.shape, jnp.bfloat16),
+        "video_input_mask": jax.ShapeDtypeStruct(vim.shape, jnp.int32),
+    }
+    params = random_bf16_params(model, example)
+    variables = {"params": params}
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=MAX_NEW_TOKENS, pad_token_id=1, eos_token_id=(50118,)
+    )
+
+    ids_d = jnp.asarray(ids, jnp.int32)
+    mask_d = jnp.asarray(mask, jnp.int32)
+    vim_d = jnp.asarray(vim, jnp.int32)
+    rng = jax.random.PRNGKey(0)
+
+    def one_step(pixel_np):
+        # host->device transfer counted, like the reference's per-batch H2D copy
+        pixel = jnp.asarray(pixel_np, jnp.bfloat16)
+        embeds = model.apply(variables, ids_d, pixel, vim_d, method=VB.embed_and_scatter)
+        tokens = _greedy_sample_decoder_only(model, variables, embeds, mask_d, gen_cfg, rng)
+        return jax.block_until_ready(tokens)
+
+    # warmup / compile
+    one_step(pixel_host)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        one_step(pixel_host)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    videos_per_sec = v / p50
+
+    print(
+        json.dumps(
+            {
+                "metric": "videos/sec, 16-shot ICL greedy narration (blip2-opt-2.7b geom, 8-frame 224^2 clips, bf16, 1 chip)",
+                "value": round(videos_per_sec, 3),
+                "unit": "videos/sec",
+                "vs_baseline": round(
+                    videos_per_sec / EST_REFERENCE_VIDEOS_PER_SEC_PER_ACCEL, 3
+                ),
+                "p50_latency_sec": round(p50, 4),
+                "batch": batch,
+                "max_new_tokens": MAX_NEW_TOKENS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

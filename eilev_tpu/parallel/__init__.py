@@ -1,0 +1,19 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "param_shardings",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,93 @@
+"""Device mesh + sharding rules.
+
+The reference's only training parallelism is 8-GPU DDP over NCCL
+(/root/reference/README.md:137-155, slurm-scripts/train/submit_train_v2.py:88-93)
+plus optional ZeRO-2 optimizer sharding. The TPU-native equivalent is SPMD under
+one ``jax.jit``: a ("data", "model") mesh where
+
+  - the batch (and the per-sample video stack) shards over "data" - gradient
+    all-reduce rides ICI automatically via XLA;
+  - large LM/vision weight matrices optionally shard over "model"
+    (tensor-parallel - an additive TPU capability, SURVEY.md 2d);
+  - optimizer state shards over "data" like ZeRO (see training.train_state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: Optional[int] = None, model: int = 1, *, devices=None
+) -> Mesh:
+    """Build a ("data", "model") mesh. Defaults: all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for batch pytrees."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch pytree with the leading axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+# ---------------------------------------------------------------------------
+# parameter sharding rules (tensor parallel over "model")
+# ---------------------------------------------------------------------------
+
+
+def _param_spec(path: tuple[str, ...], shape: tuple[int, ...]) -> P:
+    """Tensor-parallel layout for VideoBLIP params.
+
+    Column-parallel (output dim on "model"): q/k/v projections, fc1/wi, qkv.
+    Row-parallel (input dim on "model"): out_proj/o/projection, fc2/wo.
+    Embeddings shard vocab on "model". Everything else replicated.
+    """
+    name = path[-2] if len(path) >= 2 else path[-1]
+    if len(shape) == 2:
+        col = {"q_proj", "k_proj", "v_proj", "fc1", "qkv", "query", "key", "value",
+               "intermediate", "wi", "wi_0", "wi_1", "q", "k", "v"}
+        row = {"out_proj", "fc2", "o", "projection", "output", "wo", "dense"}
+        if name in col:
+            return P(None, MODEL_AXIS)
+        if name in row:
+            return P(MODEL_AXIS, None)
+        if path[-1] == "embedding" and shape[0] > 1024:
+            return P(MODEL_AXIS, None)  # vocab-sharded embedding
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh, *, tensor_parallel: bool = False) -> Any:
+    """NamedSharding pytree for the params. With tensor_parallel=False everything
+    is replicated (pure DP, the reference-parity mode)."""
+
+    def leaf(path, x):
+        if not tensor_parallel:
+            return NamedSharding(mesh, P())
+        keys = tuple(
+            k.key if hasattr(k, "key") else str(k) for k in path
+        )
+        return NamedSharding(mesh, _param_spec(keys, x.shape))
+
+    return jax.tree_util.tree_map_with_path(leaf, params)

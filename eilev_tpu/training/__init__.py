@@ -1,0 +1,19 @@
+from .train_state import (
+    OptimizerConfig,
+    TrainState,
+    eval_step,
+    make_optimizer,
+    make_train_step,
+    merge_params,
+    partition_params,
+)
+
+__all__ = [
+    "OptimizerConfig",
+    "TrainState",
+    "eval_step",
+    "make_optimizer",
+    "make_train_step",
+    "merge_params",
+    "partition_params",
+]

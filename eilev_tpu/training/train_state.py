@@ -1,0 +1,183 @@
+"""Train state, frozen-tower partitioning, and the compiled train step.
+
+Reference recipe being reproduced (/root/reference/scripts/general/train_v2.py:104-219):
+freeze the vision tower and the LM, train Q-Former + language projection + query
+tokens, grad-accumulate to a global batch, AdamW with warmup, fp32 master weights.
+
+TPU-native structure:
+  - trainable/frozen split at the pytree level: gradients are only computed for
+    the trainable subtree (the reference merely sets requires_grad=False; here the
+    backward pass for frozen weights never exists). Gradients still flow *through*
+    the frozen LM to the scattered video features (train_v2.py:130's
+    enable_input_require_grads is implicit in JAX).
+  - gradient accumulation is a ``lax.scan`` over microbatches inside one jit
+    (SURVEY.md 2d), so the accumulate loop costs no host round-trips;
+  - under a ("data", "model") mesh the same step function runs SPMD: the batch
+    shards over "data" and XLA inserts the gradient all-reduce (DDP equivalent);
+    optimizer state can shard over "data" (ZeRO-2 equivalent) via
+    ``zero_sharded_opt_state``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+TRAINABLE_PREFIXES = ("query_tokens", "qformer", "language_projection")
+
+
+def partition_params(params: dict) -> tuple[dict, dict]:
+    """Split into (trainable, frozen) by top-level module, per the reference
+    freeze list (train_v2.py:124-130)."""
+    flat = flatten_dict(params)
+    trainable = {k: v for k, v in flat.items() if k[0] in TRAINABLE_PREFIXES}
+    frozen = {k: v for k, v in flat.items() if k[0] not in TRAINABLE_PREFIXES}
+    return unflatten_dict(trainable), unflatten_dict(frozen)
+
+
+def merge_params(trainable: dict, frozen: dict) -> dict:
+    flat = dict(flatten_dict(frozen))
+    flat.update(flatten_dict(trainable))
+    return unflatten_dict(flat)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    trainable: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, trainable: Any, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            trainable=trainable,
+            opt_state=tx.init(trainable),
+            tx=tx,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Mirrors the HF TrainingArguments subset the reference uses
+    (slurm-scripts/train/submit_train_v2.py:22-37: lr 1e-4, warmup 1000 steps,
+    AdamW, weight_decay 0.05)."""
+
+    learning_rate: float = 1e-4
+    warmup_steps: int = 1000
+    total_steps: int = 10000
+    weight_decay: float = 0.05
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    schedule: str = "linear"  # HF Trainer default: linear decay after warmup
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    if cfg.schedule == "linear":
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+                optax.linear_schedule(
+                    cfg.learning_rate, 0.0, max(cfg.total_steps - cfg.warmup_steps, 1)
+                ),
+            ],
+            [cfg.warmup_steps],
+        )
+    elif cfg.schedule == "constant":
+        sched = optax.constant_schedule(cfg.learning_rate)
+    else:
+        raise ValueError(cfg.schedule)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps, weight_decay=cfg.weight_decay
+        ),
+    )
+
+
+def make_train_step(
+    model,
+    *,
+    accum_steps: int = 1,
+    loss_key: str = "loss",
+) -> Callable:
+    """Build the jittable train step.
+
+    ``batch`` layout: every array has a leading microbatch axis of size
+    ``accum_steps`` (ONE device batch = accum_steps microbatches); pixel_values is
+    (accum, videos_per_micro, C, T, H, W). With accum_steps == 1 the scan
+    degenerates to a single iteration and XLA elides it.
+    """
+
+    def loss_fn(trainable, frozen, micro):
+        params = merge_params(trainable, frozen)
+        out = model.apply(
+            {"params": params},
+            input_ids=micro["input_ids"],
+            attention_mask=micro.get("attention_mask"),
+            pixel_values=micro.get("pixel_values"),
+            video_input_mask=micro.get("video_input_mask"),
+            labels=micro["labels"],
+        )
+        return out[loss_key]
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def train_step(state: TrainState, frozen: Any, batch: Any):
+        def micro_step(carry, micro):
+            loss_sum, grad_sum = carry
+            loss, grads = grad_fn(state.trainable, frozen, micro)
+            return (loss_sum + loss, jax.tree.map(jnp.add, grad_sum, grads)), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.trainable)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            micro_step, (jnp.zeros((), jnp.float32), zero_grads), batch
+        )
+        inv = 1.0 / accum_steps
+        loss = loss_sum * inv
+        grads = jax.tree.map(lambda g: g * inv, grad_sum)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        new_state = state.replace(
+            step=state.step + 1, trainable=new_trainable, opt_state=new_opt
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def eval_step(model, params: Any, batch: Any) -> jax.Array:
+    out = model.apply(
+        {"params": params},
+        input_ids=batch["input_ids"],
+        attention_mask=batch.get("attention_mask"),
+        pixel_values=batch.get("pixel_values"),
+        video_input_mask=batch.get("video_input_mask"),
+        labels=batch["labels"],
+    )
+    return out["loss"]
+
+
+def zero_sharded_opt_state(state: TrainState, mesh, axis: str = "data"):
+    """ZeRO-2-equivalent sharding spec for the optimizer state: first-axis shard
+    every optimizer moment whose first dim divides the axis size (reference's
+    optional DeepSpeed ZeRO-2, submit_train_v2.py:38-65)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis_size = mesh.shape[axis]
+
+    def spec(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % axis_size == 0:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, state.opt_state)
