@@ -87,10 +87,12 @@ def random_bf16_params(model, example):
 
 
 def main() -> None:
+    import os
+
     cfg = configs.blip2_opt_2_7b()
     model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.bfloat16)
 
-    batch = 1
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     v = batch * (SHOTS + 1)
     ids, mask, vim = build_prompt(cfg, batch)
     pixel_host = np.random.default_rng(1).normal(size=(v, 3, FRAMES, 224, 224)).astype(np.float32)

@@ -79,7 +79,7 @@ class OPTAttention(nn.Module):
     def __call__(
         self,
         hidden_states: jax.Array,
-        bias: Optional[jax.Array],
+        attn: dict,
         cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
         cache_index: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
@@ -102,10 +102,10 @@ class OPTAttention(nn.Module):
             q,
             k,
             v,
-            bias=bias,
             scale=hd**-0.5,
             scale_query_first=True,  # HF OPT scales q before the matmul
             softmax_in_fp32=True,
+            **attn,
         )
         out = out.reshape(b, s, d)
         return self.out_proj(out), new_kv
@@ -177,7 +177,7 @@ class OPTDecoderLayer(nn.Module):
     def __call__(
         self,
         hidden_states: jax.Array,
-        bias: Optional[jax.Array],
+        attn: dict,
         cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
         cache_index: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
@@ -186,7 +186,7 @@ class OPTDecoderLayer(nn.Module):
         x = hidden_states
         if cfg.do_layer_norm_before:
             x = self.self_attn_layer_norm(x)
-        x, new_kv = self.self_attn(x, bias, cache_kv=cache_kv, cache_index=cache_index)
+        x, new_kv = self.self_attn(x, attn, cache_kv=cache_kv, cache_index=cache_index)
         x = residual + x
         if not cfg.do_layer_norm_before:
             x = self.self_attn_layer_norm(x)
@@ -296,25 +296,23 @@ class OPTForCausalLM(nn.Module):
         if cache is None:
             if position_ids is None:
                 position_ids = opt_position_ids(attention_mask)
-            bias = make_causal_bias(s, s, dtype=jnp.float32) + mask_to_bias(
-                attention_mask.astype(bool)
-            )[:, None, None, :]
+            attn = {"causal": True, "padding_mask": attention_mask}
             cache_index = None
             kv_slices: list[Optional[tuple[jax.Array, jax.Array]]] = [None] * cfg.num_hidden_layers
             new_cache = None
         else:
             index = cache["index"]
-            max_len = cache["k"].shape[2]
             full_mask = jax.lax.dynamic_update_slice(cache["mask"], attention_mask, (0, index))
             new_counts = jnp.cumsum(attention_mask, axis=1)
             if position_ids is None:
                 position_ids = (cache["pos"][:, None] + new_counts) * attention_mask - 1
             new_pos = cache["pos"] + new_counts[:, -1]
-            # causal over absolute cache positions + padding mask over the cache;
-            # unwritten cache slots (mask 0) are masked out too.
-            bias = make_causal_bias(s, max_len, offset=index, dtype=jnp.float32) + mask_to_bias(
-                full_mask.astype(bool)
-            )[:, None, None, :]
+            # Padding mask over the whole cache kills unwritten slots (mask 0).
+            # Multi-token writes (s > 1) only happen at prefill into a fresh
+            # cache in this framework, so the causal query offset is statically
+            # 0; single-token decode needs no causal mask (the newest token may
+            # attend everything filled).
+            attn = {"causal": s > 1, "padding_mask": full_mask}
             cache_index = index
             kv_slices = [(cache["k"][i], cache["v"][i]) for i in range(cfg.num_hidden_layers)]
             new_cache = {"index": index + s, "mask": full_mask, "pos": new_pos}
@@ -327,7 +325,7 @@ class OPTForCausalLM(nn.Module):
 
         new_ks, new_vs = [], []
         for i, layer in enumerate(self.layers):
-            x, new_kv = layer(x, bias, cache_kv=kv_slices[i], cache_index=cache_index)
+            x, new_kv = layer(x, attn, cache_kv=kv_slices[i], cache_index=cache_index)
             if new_kv is not None:
                 new_ks.append(new_kv[0])
                 new_vs.append(new_kv[1])

@@ -33,7 +33,7 @@ class QFormerMultiHeadAttention(nn.Module):
         self,
         hidden_states: jax.Array,
         kv_states: Optional[jax.Array] = None,
-        bias: Optional[jax.Array] = None,
+        padding_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.config
         nh, hd = cfg.num_attention_heads, cfg.head_dim
@@ -46,7 +46,7 @@ class QFormerMultiHeadAttention(nn.Module):
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, l, nh, hd)
         v = v.reshape(b, l, nh, hd)
-        out = dot_product_attention(q, k, v, bias=bias, scale=hd**-0.5)
+        out = dot_product_attention(q, k, v, padding_mask=padding_mask, scale=hd**-0.5)
         return out.reshape(b, s, nh * hd)
 
 
@@ -74,11 +74,11 @@ class QFormerAttention(nn.Module):
         self,
         hidden_states: jax.Array,
         kv_states: Optional[jax.Array] = None,
-        bias: Optional[jax.Array] = None,
+        padding_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         attn_out = QFormerMultiHeadAttention(
             self.config, self.is_cross_attention, dtype=self.dtype, name="attention"
-        )(hidden_states, kv_states=kv_states, bias=bias)
+        )(hidden_states, kv_states=kv_states, padding_mask=padding_mask)
         return QFormerSelfOutput(self.config, dtype=self.dtype, name="output")(
             attn_out, hidden_states
         )
@@ -111,14 +111,14 @@ class QFormerLayer(nn.Module):
         self,
         hidden_states: jax.Array,
         encoder_hidden_states: Optional[jax.Array] = None,
-        encoder_bias: Optional[jax.Array] = None,
+        encoder_padding_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         x = QFormerAttention(self.config, dtype=self.dtype, name="attention")(hidden_states)
         if self.has_cross_attention:
             assert encoder_hidden_states is not None
             x = QFormerAttention(
                 self.config, is_cross_attention=True, dtype=self.dtype, name="crossattention"
-            )(x, kv_states=encoder_hidden_states, bias=encoder_bias)
+            )(x, kv_states=encoder_hidden_states, padding_mask=encoder_padding_mask)
         # query-token FFN branch (intermediate_query / output_query in HF)
         return QFormerFFN(self.config, dtype=self.dtype, name="ffn_query")(x)
 
@@ -145,12 +145,8 @@ class QFormerModel(nn.Module):
         x = nn.LayerNorm(use_fast_variance=False, epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layernorm")(
             query_embeds.astype(self.dtype)
         )
-        encoder_bias = None
-        if encoder_attention_mask is not None:
-            # HF Q-Former uses (1 - mask) * -10000 additive masking.
-            encoder_bias = (
-                (1.0 - encoder_attention_mask.astype(self.dtype)) * -10000.0
-            )[:, None, None, :]
+        # (HF's Q-Former adds (1 - mask) * -10000; exp(-10000) == 0 in fp32, so a
+        # hard key-padding mask is numerically identical.)
         for i in range(cfg.num_hidden_layers):
             has_cross = i % cfg.cross_attention_frequency == 0
             x = QFormerLayer(
@@ -158,6 +154,6 @@ class QFormerModel(nn.Module):
             )(
                 x,
                 encoder_hidden_states=encoder_hidden_states if has_cross else None,
-                encoder_bias=encoder_bias if has_cross else None,
+                encoder_padding_mask=encoder_attention_mask if has_cross else None,
             )
         return x

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import T5Config
-from ..ops.attention import dot_product_attention, make_causal_bias, mask_to_bias
+from ..ops.attention import dot_product_attention
 
 Cache = dict[str, Any]
 
@@ -105,7 +105,7 @@ class T5Attention(nn.Module):
         self,
         hidden_states: jax.Array,
         kv_states: Optional[jax.Array] = None,
-        bias: Optional[jax.Array] = None,
+        attn: Optional[dict] = None,
         cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
         cache_index: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
@@ -123,7 +123,7 @@ class T5Attention(nn.Module):
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
             new_kv = (ck, cv)
             k, v = ck, cv
-        out = dot_product_attention(q, k, v, bias=bias, scale=None)  # T5: no scaling
+        out = dot_product_attention(q, k, v, scale=None, **(attn or {}))  # T5: no scaling
         return self.o(out.reshape(b, s, nh * hd)), new_kv
 
     def cross_kv(self, encoder_hidden: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -134,12 +134,13 @@ class T5Attention(nn.Module):
         return k, v
 
     def cross_attend(
-        self, hidden_states: jax.Array, k: jax.Array, v: jax.Array, bias: Optional[jax.Array]
+        self, hidden_states: jax.Array, k: jax.Array, v: jax.Array,
+        padding_mask: Optional[jax.Array]
     ) -> jax.Array:
         cfg = self.config
         b, s, _ = hidden_states.shape
         q = self.q(hidden_states).reshape(b, s, cfg.num_heads, cfg.d_kv)
-        out = dot_product_attention(q, k, v, bias=bias, scale=None)
+        out = dot_product_attention(q, k, v, padding_mask=padding_mask, scale=None)
         return self.o(out.reshape(b, s, cfg.inner_dim))
 
 
@@ -189,9 +190,9 @@ class T5SelfAttentionLayer(nn.Module):
             name="attention",
         )
 
-    def __call__(self, x, bias=None, cache_kv=None, cache_index=None):
+    def __call__(self, x, attn=None, cache_kv=None, cache_index=None):
         h = self.layer_norm(x)
-        out, new_kv = self.attention(h, bias=bias, cache_kv=cache_kv, cache_index=cache_index)
+        out, new_kv = self.attention(h, attn=attn, cache_kv=cache_kv, cache_index=cache_index)
         return x + out, new_kv
 
 
@@ -203,9 +204,9 @@ class T5CrossAttentionLayer(nn.Module):
         self.layer_norm = T5LayerNorm(self.config, dtype=self.dtype, name="layer_norm")
         self.attention = T5Attention(self.config, bidirectional=True, dtype=self.dtype, name="attention")
 
-    def __call__(self, x, k, v, bias=None):
+    def __call__(self, x, k, v, padding_mask=None):
         h = self.layer_norm(x)
-        return x + self.attention.cross_attend(h, k, v, bias)
+        return x + self.attention.cross_attend(h, k, v, padding_mask)
 
     def kv(self, encoder_hidden):
         return self.attention.cross_kv(encoder_hidden)
@@ -226,8 +227,8 @@ class T5EncoderLayer(nn.Module):
         )
         self.ff = T5FF(self.config, dtype=self.dtype, name="ff")
 
-    def __call__(self, x, bias):
-        x, _ = self.self_attention(x, bias=bias)
+    def __call__(self, x, attn):
+        x, _ = self.self_attention(x, attn=attn)
         return self.ff(x)
 
 
@@ -247,9 +248,9 @@ class T5DecoderLayer(nn.Module):
         self.cross_attention = T5CrossAttentionLayer(self.config, dtype=self.dtype, name="cross_attention")
         self.ff = T5FF(self.config, dtype=self.dtype, name="ff")
 
-    def __call__(self, x, self_bias, cross_k, cross_v, cross_bias, cache_kv=None, cache_index=None):
-        x, new_kv = self.self_attention(x, bias=self_bias, cache_kv=cache_kv, cache_index=cache_index)
-        x = self.cross_attention(x, cross_k, cross_v, bias=cross_bias)
+    def __call__(self, x, self_attn, cross_k, cross_v, cross_padding_mask, cache_kv=None, cache_index=None):
+        x, new_kv = self.self_attention(x, attn=self_attn, cache_kv=cache_kv, cache_index=cache_index)
+        x = self.cross_attention(x, cross_k, cross_v, padding_mask=cross_padding_mask)
         return self.ff(x), new_kv
 
 
@@ -269,12 +270,11 @@ class T5Encoder(nn.Module):
 
     def __call__(self, inputs_embeds: jax.Array, attention_mask: Optional[jax.Array]) -> jax.Array:
         s = inputs_embeds.shape[1]
-        bias = self.layers[0].self_attention.attention.compute_bias(s, s)
-        if attention_mask is not None:
-            bias = bias + mask_to_bias(attention_mask.astype(bool))[:, None, None, :]
+        rel_bias = self.layers[0].self_attention.attention.compute_bias(s, s)[0]  # (H, S, S)
+        attn = {"bias": rel_bias, "padding_mask": attention_mask}
         x = inputs_embeds
         for layer in self.layers:
-            x = layer(x, bias)
+            x = layer(x, attn)
         return self.final_layer_norm(x)
 
 
@@ -302,17 +302,12 @@ class T5Decoder(nn.Module):
     ) -> tuple[jax.Array, Optional[Cache]]:
         b, s, _ = inputs_embeds.shape
         rel = self.layers[0].self_attention.attention
-        cross_bias = (
-            mask_to_bias(encoder_attention_mask.astype(bool))[:, None, None, :]
-            if encoder_attention_mask is not None
-            else None
-        )
         if cache is None:
-            self_bias = rel.compute_bias(s, s) + make_causal_bias(s, s, dtype=jnp.float32)
-            if decoder_attention_mask is not None:
-                self_bias = self_bias + mask_to_bias(decoder_attention_mask.astype(bool))[
-                    :, None, None, :
-                ]
+            self_attn = {
+                "bias": rel.compute_bias(s, s)[0],
+                "causal": True,
+                "padding_mask": decoder_attention_mask,
+            }
             cache_index = None
             kv_slices: list = [None] * len(self.layers)
             cross = [layer.cross_attention.kv(encoder_hidden) for layer in self.layers]
@@ -320,11 +315,16 @@ class T5Decoder(nn.Module):
         else:
             index = cache["index"]
             max_len = cache["k"].shape[2]
-            filled = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1) < (index + s)
-            self_bias = rel.compute_bias(s, max_len, q_offset=index) + make_causal_bias(
-                s, max_len, offset=index, dtype=jnp.float32
-            )
-            self_bias = self_bias + mask_to_bias(filled)[:, None, None, :]
+            filled = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1) < (index + s)
+            ).astype(jnp.int32)
+            # decode: query offset along the cache is the traced index, so fold
+            # causality into the filled-slots mask (tokens are appended strictly
+            # left to right, so "filled" == "attendable" for the newest queries)
+            self_attn = {
+                "bias": rel.compute_bias(s, max_len, q_offset=index)[0],
+                "padding_mask": filled,
+            }
             cache_index = index
             kv_slices = [(cache["k"][i], cache["v"][i]) for i in range(len(self.layers))]
             cross = [(cache["cross_k"][i], cache["cross_v"][i]) for i in range(len(self.layers))]
@@ -336,7 +336,8 @@ class T5Decoder(nn.Module):
         for i, layer in enumerate(self.layers):
             ck, cv = cross[i]
             x, new_kv = layer(
-                x, self_bias, ck, cv, cross_bias, cache_kv=kv_slices[i], cache_index=cache_index
+                x, self_attn, ck, cv, encoder_attention_mask,
+                cache_kv=kv_slices[i], cache_index=cache_index,
             )
             if new_kv is not None:
                 new_ks.append(new_kv[0])

@@ -1,37 +1,52 @@
 """Attention primitives.
 
 One entry point, :func:`dot_product_attention`, serves every tower in the framework.
-It exposes exactly the numerical knobs needed to match each HF parity target bit-for-
-bit in fp32 (query-side vs score-side scaling, fp32 softmax, additive bias), and it
-dispatches between a plain-XLA path (always available, differentiable, CPU-testable)
-and a fused Pallas TPU flash-attention path for the hot shapes.
+It takes *structured* masking info (causal flag + query offset, key padding mask,
+optional additive bias) so the Pallas flash path never materializes (B, H, S, L)
+bias tensors, and it exposes exactly the numerical knobs needed to match each HF
+parity target in fp32 (query-side vs score-side scaling, fp32 softmax).
 
 Reference behaviors being matched (see /root/reference and installed HF sources):
   - Blip2 vision attention: score-side scaling, softmax in compute dtype.
-  - Blip2 Q-Former attention: score-side scaling, additive -10000 mask.
-  - OPT attention: query-side scaling, softmax in fp32.
+  - Blip2 Q-Former attention: score-side scaling, additive key-padding mask.
+  - OPT attention: query-side scaling, softmax in fp32, causal + padding.
   - T5 attention: no scaling, additive relative-position bias.
+
+Dispatch: "auto" uses the Pallas flash kernel (ops/flash_attention.py) for
+big-sequence shapes on TPU (interpret mode elsewhere, for tests) and the plain
+XLA einsum path for small/decode shapes.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-# Global switch; the Pallas kernel registers itself here when imported on TPU.
-_FLASH_IMPL = None
+_DEFAULT_IMPL = "auto"
+# Flash pays off when the materialized (B, H, S, L) score tensor would hurt -
+# measured end-to-end on v5e, XLA's fused attention WINS at the flagship shapes
+# (S=257 ViT, ~730-token OPT prefill: 12.85 vs 12.38 videos/s) because the
+# 88/80-lane head dims pad to 128 in the kernel. Auto only picks flash for
+# genuinely long sequences; it remains explicitly selectable.
+_FLASH_MIN_Q = 1024
+_FLASH_MIN_KV = 2048
 
 
-def register_flash_impl(fn) -> None:
-    global _FLASH_IMPL
-    _FLASH_IMPL = fn
+def set_default_attention_impl(impl: str) -> None:
+    """Set the global attention implementation: 'auto' | 'xla' | 'flash'."""
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "xla", "flash"), impl
+    _DEFAULT_IMPL = impl
 
 
-def use_flash() -> bool:
-    return _FLASH_IMPL is not None
+def get_default_attention_impl() -> str:
+    return _DEFAULT_IMPL
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu", "gpu")
 
 
 def dot_product_attention(
@@ -40,47 +55,65 @@ def dot_product_attention(
     v: jax.Array,
     *,
     bias: Optional[jax.Array] = None,
+    padding_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    q_offset: int = 0,
     scale: Optional[float] = None,
     scale_query_first: bool = False,
     softmax_in_fp32: bool = False,
-    implementation: str = "auto",
+    implementation: Optional[str] = None,
 ) -> jax.Array:
     """Multi-head scaled dot-product attention.
 
     Args:
-      q: (batch, q_len, heads, head_dim)
-      k: (batch, kv_len, heads, head_dim)
-      v: (batch, kv_len, heads, head_dim)
-      bias: optional additive bias broadcastable to (batch, heads, q_len, kv_len).
-        Masking is expressed as a large negative bias (finite, to mirror HF and to
-        avoid NaN on fully-masked rows).
-      scale: multiplier for attention scores (typically head_dim**-0.5). ``None``
-        means no scaling (T5).
-      scale_query_first: multiply q by ``scale`` before the QK matmul instead of
-        scaling the scores (OPT ordering; affects low-precision rounding).
-      softmax_in_fp32: run the softmax in float32 and cast back (OPT behavior).
-      implementation: "auto" | "xla" | "flash".
+      q: (batch, q_len, heads, head_dim); k, v: (batch, kv_len, heads, head_dim).
+      bias: optional additive bias - (heads, q_len, kv_len) broadcast over batch
+        (flash-compatible, e.g. T5 relpos) or any shape broadcastable to
+        (batch, heads, q_len, kv_len) (XLA path only).
+      padding_mask: optional (batch, kv_len) 0/1 keep-mask over keys.
+      causal: apply causal masking; ``q_offset`` is the absolute position of
+        query 0 along the key axis (static; prefill-at-0 in this framework).
+      scale: score multiplier (head_dim**-0.5); None = no scaling (T5).
+      scale_query_first: multiply q before the QK matmul (OPT ordering).
+      softmax_in_fp32: run softmax in float32 and cast back (OPT).
+      implementation: override 'auto' | 'xla' | 'flash'.
 
-    Returns:
-      (batch, q_len, heads, head_dim) attention output in q.dtype.
+    Returns (batch, q_len, heads, head_dim) in q.dtype.
     """
-    if implementation == "auto":
-        implementation = "flash" if _FLASH_IMPL is not None else "xla"
-    if implementation == "flash" and _FLASH_IMPL is not None:
-        return _FLASH_IMPL(
+    impl = implementation or _DEFAULT_IMPL
+    if impl == "auto":
+        flash_ok = (
+            q.shape[1] >= _FLASH_MIN_Q
+            and k.shape[1] >= _FLASH_MIN_KV
+            and (bias is None or bias.ndim == 3)
+        )
+        impl = "flash" if flash_ok else "xla"
+
+    if impl == "flash":
+        from .flash_attention import flash_attention
+
+        assert bias is None or bias.ndim == 3, "flash bias must be (H, S, L)"
+        return flash_attention(
             q,
             k,
             v,
+            padding_mask=padding_mask,
             bias=bias,
+            causal=causal,
+            q_offset=q_offset,
             scale=scale,
             scale_query_first=scale_query_first,
-            softmax_in_fp32=softmax_in_fp32,
+            interpret=not _on_tpu(),
         )
+
     return _xla_attention(
         q,
         k,
         v,
         bias=bias,
+        padding_mask=padding_mask,
+        causal=causal,
+        q_offset=q_offset,
         scale=scale,
         scale_query_first=scale_query_first,
         softmax_in_fp32=softmax_in_fp32,
@@ -93,6 +126,9 @@ def _xla_attention(
     v: jax.Array,
     *,
     bias: Optional[jax.Array],
+    padding_mask: Optional[jax.Array],
+    causal: bool,
+    q_offset: int,
     scale: Optional[float],
     scale_query_first: bool,
     softmax_in_fp32: bool,
@@ -105,36 +141,39 @@ def _xla_attention(
     if scale is not None and not scale_query_first:
         scores = scores * jnp.asarray(scale, dtype=scores.dtype)
     if bias is not None:
-        scores = scores + bias.astype(scores.dtype)
+        b4 = bias if bias.ndim != 3 else bias[None]
+        scores = scores + b4.astype(scores.dtype)
+    # combine causal + padding into ONE where() (adding two finfo.min biases
+    # would overflow to -inf and make fully-masked rows softmax to NaN, which
+    # poisons gradients; HF's _update_causal_mask also keeps a single min)
+    keep = None
+    if causal:
+        s_len, l_len = q.shape[1], k.shape[1]
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (s_len, l_len), 0) + q_offset
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (s_len, l_len), 1)
+        keep = (k_pos <= q_pos)[None, None]
+    if padding_mask is not None:
+        pm = padding_mask.astype(bool)[:, None, None, :]
+        keep = pm if keep is None else jnp.logical_and(keep, pm)
+    if keep is not None:
+        scores = jnp.where(keep, scores, jnp.asarray(jnp.finfo(jnp.float32).min, scores.dtype))
     if softmax_in_fp32:
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(orig_dtype)
     else:
         probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhsl,blhd->bshd", probs, v)
-    return out
+    return jnp.einsum("bhsl,blhd->bshd", probs, v)
 
 
 def mask_to_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Boolean keep-mask -> additive bias using the dtype's most-negative finite
     value, mirroring HF's ``_update_causal_mask`` (finfo.min, not -inf, so fully
     masked rows softmax to uniform instead of NaN)."""
-    big_neg = jnp.finfo(jnp.float32).min if dtype == jnp.float32 else jnp.finfo(dtype).min
-    return jnp.where(mask, jnp.asarray(0.0, dtype), jnp.asarray(big_neg, dtype))
+    return jnp.where(mask, jnp.asarray(0.0, dtype), jnp.asarray(jnp.finfo(dtype).min, dtype))
 
 
 def make_causal_bias(q_len: int, kv_len: int, *, offset: int = 0, dtype=jnp.float32) -> jax.Array:
-    """Additive causal bias of shape (1, 1, q_len, kv_len).
-
-    ``offset`` is the absolute position of query 0 within the kv axis (used during
-    incremental decoding where queries sit at the end of the cache).
-    """
+    """Additive causal bias of shape (1, 1, q_len, kv_len); ``offset`` is the
+    absolute position of query 0 within the kv axis."""
     q_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0) + offset
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
-    keep = k_pos <= q_pos
-    return mask_to_bias(keep, dtype)[None, None]
-
-
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def padding_bias(attention_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """(B, L) 0/1 padding mask -> (B, 1, 1, L) additive bias."""
-    return mask_to_bias(attention_mask.astype(bool), dtype)[:, None, None, :]
+    return mask_to_bias(k_pos <= q_pos, dtype)[None, None]

@@ -1,0 +1,237 @@
+"""Training loop: the HF-Trainer role for this framework.
+
+Reproduces the train_v1/train_v2 recipe (/root/reference/scripts/general/train_v2.py:
+104-219 + slurm-scripts/README.md): frozen towers, grad accumulation to a global
+batch, periodic eval + checkpointing (save_steps / save_total_limit /
+load_best_at_end), resume-from-checkpoint, step-time and videos/sec meters
+(the observability the reference lacks - SURVEY.md section 5), optional wandb.
+
+TPU-native structure: ONE compiled step function (grad-accum scan inside), data
+sharded over the mesh's "data" axis, a background host thread keeping a prefetch
+queue of ready device batches so PNG decode/augmentation overlaps device compute
+(the reference uses DataLoader worker processes for the same purpose).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import make_mesh
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .train_state import (
+    OptimizerConfig,
+    TrainState,
+    eval_step,
+    make_optimizer,
+    make_train_step,
+    merge_params,
+    partition_params,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """HF TrainingArguments subset used by the reference recipe
+    (slurm-scripts/train/submit_train_v2.py:22-37)."""
+
+    output_dir: str = "checkpoints"
+    num_train_steps: int = 1000
+    per_device_batch_size: int = 1
+    gradient_accumulation_steps: int = 16
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    eval_steps: int = 200
+    save_steps: int = 200
+    save_total_limit: int = 3
+    log_steps: int = 10
+    load_best_model_at_end: bool = True
+    seed: int = 42
+    resume_from_checkpoint: bool = False
+    prefetch: int = 2
+
+
+class _Prefetcher:
+    """Background thread pulling host batches and parking them on device."""
+
+    def __init__(self, it: Iterable, put_fn: Callable[[Any], Any], depth: int):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._put = put_fn
+        self._it = iter(it)
+        self._done = object()
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._it:
+                self._q.put(self._put(item))
+        except BaseException as e:  # propagate to the consumer
+            self._error = e
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item
+
+
+def _is_committed(x) -> bool:
+    """True if the array is already placed on a multi-device mesh sharding."""
+    sh = getattr(x, "sharding", None)
+    return sh is not None and getattr(sh, "num_devices", 1) > 1
+
+
+def shard_train_batch(batch: Any, mesh) -> Any:
+    """Shard the MICRO-BATCH axis (axis 1; axis 0 is grad accumulation) over
+    'data' when divisible; otherwise replicate (small-batch tests, single chip)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape["data"]
+
+    def put(x):
+        if x.ndim >= 2 and x.shape[1] % n == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(None, "data")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, batch)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        params: dict,
+        config: TrainerConfig,
+        train_batches: Callable[[int], Iterable[dict]],
+        eval_batches: Optional[Callable[[], Iterable[dict]]] = None,
+        mesh=None,
+        logger: Optional[Callable[[int, dict], None]] = None,
+    ):
+        """
+        :param train_batches: fn(seed) -> iterable of host batches shaped
+            (accum, micro_batch, ...) per array (see make_train_step).
+        :param eval_batches: fn() -> iterable of eval batches (micro shape).
+        :param logger: fn(step, metrics) - e.g. utils.logging.WandbLogger.
+        """
+        self.model = model
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = logger
+        self.train_batches = train_batches
+        self.eval_batches = eval_batches
+
+        trainable, frozen = partition_params(params)
+        # place params on the mesh (replicated; TP layouts can be passed via a
+        # pre-sharded `params` argument, device_put is a no-op then)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        trainable = jax.tree.map(lambda x: jax.device_put(x, rep) if not _is_committed(x) else x, trainable)
+        frozen = jax.tree.map(lambda x: jax.device_put(x, rep) if not _is_committed(x) else x, frozen)
+        self.frozen = frozen
+        tx = make_optimizer(config.optimizer)
+        state = TrainState.create(trainable, tx)
+        # step + freshly-initialized opt state need mesh placement too
+        self.state = jax.tree.map(
+            lambda x: jax.device_put(x, rep) if not _is_committed(x) else x, state
+        )
+        self._step_fn = jax.jit(
+            make_train_step(model, accum_steps=config.gradient_accumulation_steps)
+        )
+        self._eval_fn = jax.jit(lambda p, b: eval_step(model, p, b))
+        self.best_eval_loss = float("inf")
+        self.best_trainable = None
+
+        if config.resume_from_checkpoint:
+            path = latest_checkpoint(config.output_dir)
+            if path is not None:
+                self.state = restore_checkpoint(path, self.state)
+
+    def current_params(self) -> dict:
+        return merge_params(self.state.trainable, self.frozen)
+
+    def evaluate(self) -> float:
+        assert self.eval_batches is not None
+        params = self.current_params()
+        losses = []
+        for batch in self.eval_batches():
+            batch = jax.tree.map(jnp.asarray, batch)
+            n = self.mesh.shape["data"]
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = jax.tree.map(
+                lambda x: jax.device_put(
+                    x,
+                    NamedSharding(
+                        self.mesh, P("data") if x.shape[0] % n == 0 else P()
+                    ),
+                ),
+                batch,
+            )
+            losses.append(float(self._eval_fn(params, batch)))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def train(self) -> TrainState:
+        cfg = self.config
+        start_step = int(self.state.step)
+        it = _Prefetcher(
+            self.train_batches(cfg.seed + start_step),
+            lambda b: shard_train_batch(jax.tree.map(jnp.asarray, b), self.mesh),
+            cfg.prefetch,
+        )
+        t_last = time.perf_counter()
+        videos_since = 0
+        for batch in it:
+            if int(self.state.step) >= cfg.num_train_steps:
+                break
+            self.state, metrics = self._step_fn(self.state, self.frozen, batch)
+            step = int(self.state.step)
+            if "pixel_values" in batch:
+                videos_since += int(np.prod(batch["pixel_values"].shape[:2]))
+
+            if step % cfg.log_steps == 0:
+                now = time.perf_counter()
+                dt = now - t_last
+                logd = {
+                    "loss": float(metrics["loss"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "step_time_sec": dt / cfg.log_steps,
+                    "videos_per_sec": videos_since / dt if dt > 0 else 0.0,
+                }
+                t_last = now
+                videos_since = 0
+                if self.logger:
+                    self.logger(step, logd)
+                else:
+                    print(f"step {step}: {logd}")
+
+            if cfg.eval_steps and self.eval_batches is not None and step % cfg.eval_steps == 0:
+                eval_loss = self.evaluate()
+                if self.logger:
+                    self.logger(step, {"eval_loss": eval_loss})
+                if eval_loss < self.best_eval_loss:
+                    self.best_eval_loss = eval_loss
+                    self.best_trainable = jax.tree.map(lambda x: x, self.state.trainable)
+
+            if cfg.save_steps and step % cfg.save_steps == 0:
+                save_checkpoint(cfg.output_dir, self.state, keep=cfg.save_total_limit)
+
+        if cfg.load_best_model_at_end and self.best_trainable is not None:
+            self.state = self.state.replace(trainable=self.best_trainable)
+        save_checkpoint(cfg.output_dir, self.state, keep=cfg.save_total_limit)
+        return self.state

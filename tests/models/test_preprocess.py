@@ -1,0 +1,104 @@
+"""Preprocessing-op tests: exact contracts (subsample indices, normalize math,
+Blip2Processor parity on resize path) + shape/validity for random transforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eilev_tpu.ops import preprocess as pp
+
+
+def test_uniform_temporal_subsample_indices():
+    v = jnp.arange(10).reshape(1, 10, 1, 1).astype(jnp.uint8)
+    out = pp.uniform_temporal_subsample(v, 4)
+    # pytorchvideo: linspace(0, 9, 4).long() = [0, 3, 6, 9]
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1), [0, 3, 6, 9])
+    out8 = pp.uniform_temporal_subsample(v, 10)
+    np.testing.assert_array_equal(np.asarray(out8).reshape(-1), np.arange(10))
+
+
+def test_normalize_math():
+    v = jnp.ones((3, 2, 4, 4)) * 0.5
+    out = pp.normalize(v)
+    for c in range(3):
+        expected = (0.5 - pp.CLIP_MEAN[c]) / pp.CLIP_STD[c]
+        np.testing.assert_allclose(np.asarray(out[c]), expected, rtol=1e-6)
+
+
+def test_process_videos_matches_hf_image_processor():
+    """Fused eval path vs HF Blip2 image processing math (resize->rescale->
+    normalize). Resize backends differ in interpolation details, so compare on
+    an already-224 input where resize is identity."""
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(2, 3, 4, 224, 224)).astype(np.uint8)
+    out = pp.process_videos(jnp.asarray(frames), num_frames=2)
+    assert out.shape == (2, 3, 2, 224, 224)
+    sub = frames[:, :, [0, 3]]  # linspace(0,3,2).long() = [0,3]
+    expected = (sub.astype(np.float32) / 255.0 - np.asarray(pp.CLIP_MEAN).reshape(1, 3, 1, 1, 1)) / np.asarray(
+        pp.CLIP_STD
+    ).reshape(1, 3, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_resize_video_bicubic_close_to_torch():
+    torch = pytest.importorskip("torch")
+    F = pytest.importorskip("torchvision.transforms.functional")
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(3, 1, 32, 32)).astype(np.uint8)
+    ours = np.asarray(pp.resize_video(jnp.asarray(img), 16, 16))
+    ref = F.resize(
+        torch.tensor(img[:, 0].astype(np.float32)), [16, 16],
+        interpolation=F.InterpolationMode.BICUBIC, antialias=True,
+    ).numpy()[:, None]
+    # different bicubic kernels/clamping: close but not bit-identical
+    assert np.abs(ours - ref).mean() < 1.0
+
+
+def test_random_resized_crop_shapes_and_determinism():
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.normal(size=(3, 4, 40, 56)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    a = pp.random_resized_crop(key, v, 24, 24)
+    b = pp.random_resized_crop(key, v, 24, 24)
+    assert a.shape == (3, 4, 24, 24)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = pp.random_resized_crop(jax.random.PRNGKey(1), v, 24, 24)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_random_horizontal_flip():
+    v = jnp.arange(8.0).reshape(1, 1, 1, 8)
+    flipped = pp.random_horizontal_flip(jax.random.PRNGKey(0), v, p=1.0)
+    np.testing.assert_array_equal(np.asarray(flipped).reshape(-1), np.arange(8)[::-1])
+    same = pp.random_horizontal_flip(jax.random.PRNGKey(0), v, p=0.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(v))
+
+
+def test_rand_augment_valid_range_and_determinism():
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.integers(0, 256, size=(3, 2, 16, 16)).astype(np.uint8))
+    outs = []
+    for seed in range(6):
+        out = pp.rand_augment(jax.random.PRNGKey(seed), v, magnitude=5.0)
+        a = np.asarray(out)
+        assert a.shape == v.shape
+        assert np.isfinite(a).all()
+        assert a.min() >= 0.0 and a.max() <= 255.0
+        outs.append(a)
+    # deterministic per key
+    again = np.asarray(pp.rand_augment(jax.random.PRNGKey(0), v, magnitude=5.0))
+    np.testing.assert_array_equal(outs[0], again)
+    # different keys eventually differ
+    assert any(not np.array_equal(outs[0], o) for o in outs[1:])
+
+
+def test_train_transform_end_to_end():
+    rng = np.random.default_rng(4)
+    v = jnp.asarray(rng.integers(0, 256, size=(3, 16, 64, 64)).astype(np.uint8))
+    out = pp.train_transform(jax.random.PRNGKey(0), v, num_frames=8, height=32, width=32)
+    assert out.shape == (3, 8, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # normalized space: roughly centered
+    assert abs(float(out.mean())) < 3.0

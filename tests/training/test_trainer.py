@@ -1,0 +1,99 @@
+"""Trainer end-to-end smoke: loss decreases, checkpoints written, resume works."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eilev_tpu import configs
+from eilev_tpu.models import VideoBlipForConditionalGeneration
+from eilev_tpu.training import OptimizerConfig
+from eilev_tpu.training.checkpoint import latest_checkpoint
+from eilev_tpu.training.trainer import Trainer, TrainerConfig
+
+
+def _make_batches(cfg, accum, micro_b, steps, seed):
+    def gen(s):
+        rng = np.random.default_rng(seed)
+        img = cfg.vision_config.image_size
+        q = cfg.num_query_tokens
+        b = accum * micro_b
+        for _ in range(steps):
+            pixel = rng.normal(size=(b, 3, 2, img, img)).astype(np.float32)
+            ids = rng.integers(4, cfg.text_config.vocab_size, size=(b, 12))
+            vim = np.zeros((b, 12), np.int64)
+            vim[:, 1 : 1 + q] = 1
+            labels = np.where(vim.astype(bool), -100, ids)
+            yield {
+                "input_ids": ids.reshape(accum, micro_b, 12),
+                "attention_mask": np.ones((accum, micro_b, 12), np.int64),
+                "labels": labels.reshape(accum, micro_b, 12),
+                "video_input_mask": vim.reshape(accum, micro_b, 12),
+                "pixel_values": pixel.reshape(accum, micro_b, 3, 2, img, img),
+            }
+
+    return gen
+
+
+def test_trainer_end_to_end(tmp_path):
+    cfg = configs.tiny_config(text_model="opt")
+    model = VideoBlipForConditionalGeneration(cfg)
+    rng = jax.random.PRNGKey(0)
+    img = cfg.vision_config.image_size
+    params = model.init(
+        rng,
+        input_ids=jnp.ones((1, 12), jnp.int32),
+        pixel_values=jax.random.normal(rng, (1, 3, 2, img, img)),
+        video_input_mask=jnp.zeros((1, 12), jnp.int32).at[:, 1 : 1 + cfg.num_query_tokens].set(1),
+    )["params"]
+
+    logs = []
+    tconf = TrainerConfig(
+        output_dir=str(tmp_path / "ckpt"),
+        num_train_steps=6,
+        gradient_accumulation_steps=2,
+        per_device_batch_size=1,
+        optimizer=OptimizerConfig(learning_rate=5e-3, warmup_steps=0, total_steps=10),
+        eval_steps=3,
+        save_steps=3,
+        log_steps=1,
+    )
+    trainer = Trainer(
+        model,
+        params,
+        tconf,
+        train_batches=_make_batches(cfg, 2, 1, steps=100, seed=0),
+        eval_batches=lambda: iter(
+            [
+                {
+                    k: v[0]
+                    for k, v in next(iter(_make_batches(cfg, 1, 2, 1, 1)(0))).items()
+                }
+            ]
+        ),
+        logger=lambda step, m: logs.append((step, m)),
+    )
+    state = trainer.train()
+    assert int(state.step) == 6
+    losses = [m["loss"] for _, m in logs if "loss" in m]
+    assert losses[-1] < losses[0]  # overfits the repeated batch
+    assert latest_checkpoint(str(tmp_path / "ckpt")) is not None
+
+    # resume: a fresh trainer picks up at step 6
+    trainer2 = Trainer(
+        model,
+        params,
+        TrainerConfig(
+            output_dir=str(tmp_path / "ckpt"),
+            num_train_steps=8,
+            gradient_accumulation_steps=2,
+            optimizer=OptimizerConfig(learning_rate=5e-3, warmup_steps=0, total_steps=10),
+            eval_steps=0,
+            save_steps=0,
+            log_steps=100,
+            resume_from_checkpoint=True,
+        ),
+        train_batches=_make_batches(cfg, 2, 1, steps=100, seed=0),
+    )
+    assert int(trainer2.state.step) == 6
+    state2 = trainer2.train()
+    assert int(state2.step) == 8
