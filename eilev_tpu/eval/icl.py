@@ -1,0 +1,252 @@
+"""In-context-learning verb/noun classification eval.
+
+Parity target: /root/reference/scripts/general/icl_eval.py - the EMNLP paper's
+headline classification protocol:
+
+  1. per datapoint, draw ``num_shot`` few-shot examples from the train split
+     (infinite random sampling with replacement, icl_eval.py:206-224);
+  2. classify the VERB by scoring 188 verb prompts as continuations of
+     "...Answer: The camera wearer" with :func:`eilev_tpu.generation.classify`;
+  3. classify the NOUN by scoring 793 noun prompts as continuations of
+     "...The camera wearer {predicted verb}" (two-stage, icl_eval.py:239-313);
+  4. macro F1 over the Ego4D fho-lta taxonomy for both.
+
+Class-prompt CSVs (``prompt,structured_verb`` / ``prompt,structured_noun``) and
+the fho taxonomy/fho_main JSONs are data assets the user supplies - identical
+schema to the reference's ``scripts/ego4d/eval-data/*.csv``.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import random as _random
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.collate import _pad_1d  # shared padding helper
+from ..data.prompts import generate_input_ids_and_labels_from_interleaved
+from ..data.text import clean_narration_text
+from ..generation import classify
+from ..ops.preprocess import process_videos
+
+FEW_SHOT_PROMPT = "Question: What is the camera wearer doing? Answer:"
+
+
+def load_narrated_action_verb_noun(fho_main_path: str) -> dict[str, dict[str, str]]:
+    """frame_path -> {structured_verb, structured_noun} from Ego4D fho_main.json,
+    keeping only actions with a usable verb and a pnr-frame object_of_change noun
+    (reference icl_eval.py:25-53)."""
+    with open(fho_main_path) as f:
+        fho_main = json.load(f)
+    out: dict[str, dict[str, str]] = defaultdict(dict)
+    for video in fho_main["videos"]:
+        for interval in video["annotated_intervals"]:
+            for i, action in enumerate(interval["narrated_actions"]):
+                if action["structured_verb"] in {"None", "[other]", "cross"}:
+                    continue
+                if action["frames"] is None:
+                    continue
+                for frame in action["frames"]:
+                    if frame["frame_type"] != "pnr_frame":
+                        continue
+                    for box in frame["boxes"]:
+                        if (
+                            box["object_type"] == "object_of_change"
+                            and box["structured_noun"] is not None
+                        ):
+                            out[f"{video['video_uid']}|{i}"] = {
+                                "structured_verb": action["structured_verb"],
+                                "structured_noun": box["structured_noun"],
+                            }
+                            break
+    return out
+
+
+def add_and_filter_verb_noun(verb_noun_map, dataset, num_eval_datapoints: int = 0):
+    """Keep only datapoints with taxonomy labels; stamp the labels on (reference
+    icl_eval.py:56-78)."""
+    filtered = [d for d in dataset.data if d["frame_path"] in verb_noun_map]
+    if num_eval_datapoints > 0:
+        filtered = filtered[:num_eval_datapoints]
+    for d in filtered:
+        d.update(verb_noun_map[d["frame_path"]])
+    dataset.data = filtered
+    dataset.dict_data = {d["frame_path"]: d for d in filtered}
+    return dataset
+
+
+def load_prompt_map(path: str, value_column: str) -> dict[str, str]:
+    """CSV 'prompt,<value_column>' -> {prompt: class}."""
+    with open(path, newline="") as f:
+        return {row["prompt"]: row[value_column] for row in csv.DictReader(f)}
+
+
+@dataclass
+class IclEvalResult:
+    verb_f1: float
+    noun_f1: float
+    verb_predictions: list[dict] = field(default_factory=list)
+    noun_predictions: list[dict] = field(default_factory=list)
+
+
+class IclEvaluator:
+    """Two-stage verb->noun ICL classification over a FrameDataset."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        tokenizer,
+        *,
+        verb_prompts: dict[str, str],
+        noun_prompts: dict[str, str],
+        verbs: Sequence[str],
+        nouns: Sequence[str],
+        num_shot: int,
+        class_batch_size: Optional[int] = None,
+        few_shot_prompt: str = FEW_SHOT_PROMPT,
+        rng: Optional[_random.Random] = None,
+        dtype=jnp.float32,
+    ):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.verb_prompts = verb_prompts
+        self.noun_prompts = noun_prompts
+        self.verbs = list(verbs)
+        self.nouns = list(nouns)
+        self.num_shot = num_shot
+        self.class_batch_size = class_batch_size
+        self.few_shot_prompt = few_shot_prompt
+        self.rng = rng if rng is not None else _random.Random(42)
+        self.dtype = dtype
+        cfg = model.config
+        self.num_query_tokens = cfg.num_query_tokens
+        self._class_cache: dict[tuple, tuple] = {}
+
+    # -- preprocessing -------------------------------------------------
+
+    def _tokenize_classes(self, classes: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        key = tuple(classes)
+        if key not in self._class_cache:
+            # leading space: the tokenizer treats space-prefixed words as
+            # separate tokens (reference icl_eval.py:123-131)
+            enc = [
+                self.tokenizer(" " + c, add_special_tokens=False)["input_ids"]
+                for c in classes
+            ]
+            longest = max(len(e) for e in enc)
+            ids = np.stack(
+                [_pad_1d(np.asarray(e), longest, self.tokenizer.pad_token_id, "right") for e in enc]
+            )
+            mask = np.stack(
+                [_pad_1d(np.ones(len(e), np.int64), longest, 0, "right") for e in enc]
+            )
+            self._class_cache[key] = (ids, mask)
+        return self._class_cache[key]
+
+    def _build_prompt(self, prompt: str, datapoint: dict, few_shot: list[dict]):
+        few_shot_prompts = [
+            (
+                " ".join([self.few_shot_prompt, clean_narration_text(ex["narration_text"])]),
+                1,
+            )
+            for ex in few_shot
+        ]
+        built = generate_input_ids_and_labels_from_interleaved(
+            self.tokenizer,
+            few_shot_prompts + [(prompt, 1)],
+            None,
+            self.num_query_tokens,
+            True,
+        )
+        videos = np.stack([ex["video"] for ex in few_shot] + [datapoint["video"]])
+        pixel = process_videos(jnp.asarray(videos), dtype=self.dtype)
+        return built, pixel
+
+    def _classify(self, prompt: str, datapoint, few_shot, classes: list[str]) -> int:
+        built, pixel = self._build_prompt(prompt, datapoint, few_shot)
+        class_ids, class_mask = self._tokenize_classes(classes)
+        ll = classify(
+            self.model,
+            self.variables,
+            prompt_input_ids=jnp.asarray(built["input_ids"])[None],
+            class_input_ids=jnp.asarray(class_ids),
+            pixel_values=pixel,
+            prompt_video_input_mask=jnp.asarray(built["video_input_mask"])[None],
+            class_attention_mask=jnp.asarray(class_mask),
+            class_batch_size=self.class_batch_size,
+        )
+        return int(np.asarray(ll)[0].argmax())
+
+    # -- evaluation loop ------------------------------------------------
+
+    def evaluate(self, eval_dataset, train_dataset, *, progress: bool = False) -> IclEvalResult:
+        from .metrics import MulticlassF1
+
+        verb_list = list(self.verb_prompts.keys())
+        noun_list = list(self.noun_prompts.keys())
+        verb_id = {v: i for i, v in enumerate(self.verbs)}
+        noun_id = {n: i for i, n in enumerate(self.nouns)}
+        verb_f1 = MulticlassF1(len(self.verbs))
+        noun_f1 = MulticlassF1(len(self.nouns))
+        result = IclEvalResult(0.0, 0.0)
+
+        indices = range(len(eval_dataset))
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                indices = tqdm(indices, desc="Evaluating")
+            except ImportError:
+                pass
+
+        for i in indices:
+            datapoint = eval_dataset[i]
+            # infinite random sampling with replacement (icl_eval.py:206-224)
+            few_shot = [
+                train_dataset[self.rng.randrange(len(train_dataset))]
+                for _ in range(self.num_shot)
+            ]
+            # stage 1: verb
+            pv_idx = self._classify(
+                self.few_shot_prompt + " The camera wearer", datapoint, few_shot, verb_list
+            )
+            pred_verb_prompt = verb_list[pv_idx]
+            pred_verb = self.verb_prompts[pred_verb_prompt]
+            verb_f1([verb_id[pred_verb]], [verb_id[datapoint["structured_verb"]]])
+            result.verb_predictions.append(
+                {
+                    "frame_path": datapoint["frame_path"],
+                    "structured_verb": datapoint["structured_verb"],
+                    "predicted_verb_prompt": pred_verb_prompt,
+                    "prediction": pred_verb,
+                }
+            )
+            # stage 2: noun, conditioned on the predicted verb prompt
+            pn_idx = self._classify(
+                self.few_shot_prompt + f" The camera wearer {pred_verb_prompt}",
+                datapoint,
+                few_shot,
+                noun_list,
+            )
+            pred_noun_prompt = noun_list[pn_idx]
+            pred_noun = self.noun_prompts[pred_noun_prompt]
+            noun_f1([noun_id[pred_noun]], [noun_id[datapoint["structured_noun"]]])
+            result.noun_predictions.append(
+                {
+                    "frame_path": datapoint["frame_path"],
+                    "structured_noun": datapoint["structured_noun"],
+                    "predicted_noun_prompt": pred_noun_prompt,
+                    "prediction": pred_noun,
+                }
+            )
+
+        result.verb_f1 = verb_f1.compute()
+        result.noun_f1 = noun_f1.compute()
+        return result
