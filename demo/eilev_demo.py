@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Interactive EILeV chat demo: interleave videos and text, generate narrations.
+
+Parity target: /root/reference/demo/eilev_demo.py (Gradio Blocks chat holding
+{text_blocks, videos, text_block_video_map} state; each turn rebuilds the full
+interleaved prompt and beam-searches with length_penalty=-1 and the OPT
+newline-eos quirk; videos capped at 8 s / 8 frames).
+
+Runs as a Gradio app when gradio is installed; otherwise as a terminal chat
+(type a message, or `/video <path>` to add a clip, `/reset` to clear).
+"""
+
+# allow running from a source checkout without installation
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..")))
+# honor JAX_PLATFORMS even under the axon TPU plugin (which overrides the env var)
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+import argparse
+
+import numpy as np
+
+MAX_CLIP_SECONDS = 8
+NUM_FRAMES = 8
+
+
+class EilevChat:
+    """Interleaved chat state + generation (framework-agnostic core)."""
+
+    def __init__(self, model_path: str, processor_path=None, dtype_name: str = "bf16"):
+        import jax.numpy as jnp
+
+        from eilev_tpu.models.auto import load_model, load_tokenizer
+
+        self.dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+        self.model, self.variables, self.config = load_model(model_path, dtype=self.dtype)
+        self.tokenizer = load_tokenizer(processor_path or model_path)
+        self.reset()
+
+    def reset(self) -> None:
+        # blocks of (text, num_videos_before_text), reference-style state
+        self.prompts: list[tuple[str, int]] = [("", 0)]
+        self.videos: list[np.ndarray] = []
+
+    def add_video(self, path: str) -> str:
+        from eilev_tpu.native import VideoDecoder
+
+        if self.prompts[-1][0] != "":
+            self.prompts.append(("", 0))
+        with VideoDecoder(path) as dec:
+            end = min(MAX_CLIP_SECONDS, dec.duration)
+            self.videos.append(dec.decode_clip(0.0, end, NUM_FRAMES))
+        text, n = self.prompts[-1]
+        self.prompts[-1] = (text, n + 1)
+        return f"[added video {len(self.videos)}: {path}]"
+
+    def add_text(self, text: str) -> None:
+        block, n = self.prompts[-1]
+        self.prompts[-1] = ((block + " " + text).strip(), n)
+
+    def respond(self, user_text: str) -> str:
+        import jax.numpy as jnp
+
+        from eilev_tpu.configs import OPTConfig
+        from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
+        from eilev_tpu.generation import GenerationConfig, generate
+        from eilev_tpu.ops.preprocess import process_videos
+
+        if user_text.strip():
+            self.add_text(user_text.strip())
+        inputs = generate_input_ids_and_labels_from_interleaved(
+            self.tokenizer,
+            self.prompts,
+            None,
+            self.config.num_query_tokens,
+            self.config.use_decoder_only_language_model,
+        )
+        gen_cfg = GenerationConfig(
+            max_new_tokens=32,
+            num_beams=5,
+            length_penalty=-1.0,
+            pad_token_id=self.tokenizer.pad_token_id,
+        )
+        if isinstance(self.config.text_config, OPTConfig):
+            gen_cfg = gen_cfg.with_eos(50118)  # OPT newline eos (LAVIS convention)
+        kwargs = {}
+        if self.videos:
+            img = self.config.vision_config.image_size
+            kwargs["pixel_values"] = process_videos(
+                jnp.asarray(np.stack(self.videos)), height=img, width=img, dtype=self.dtype
+            )
+            kwargs["video_input_mask"] = jnp.asarray(inputs["video_input_mask"])[None]
+        tokens = generate(
+            self.model,
+            self.variables,
+            input_ids=jnp.asarray(inputs["input_ids"])[None],
+            generation_config=gen_cfg,
+            **kwargs,
+        )
+        reply = self.tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)[0].strip()
+        self.add_text(reply)
+        return reply
+
+
+def run_terminal(chat: EilevChat) -> None:
+    print("EILeV chat (terminal mode). Commands: /video <path>, /reset, /quit")
+    while True:
+        try:
+            line = input("> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        if line == "/quit":
+            break
+        if line == "/reset":
+            chat.reset()
+            print("[reset]")
+            continue
+        if line.startswith("/video "):
+            print(chat.add_video(line[len("/video ") :].strip()))
+            continue
+        print(chat.respond(line))
+
+
+def run_gradio(chat: EilevChat, share: bool) -> None:
+    import gradio as gr  # type: ignore
+
+    with gr.Blocks(title="EILeV Demo") as app:
+        chatbot = gr.Chatbot()
+        with gr.Row():
+            video_in = gr.Video(label="Add a video")
+            text_in = gr.Textbox(label="Message")
+        clear = gr.Button("Reset")
+
+        def on_video(video, history):
+            if video:
+                msg = chat.add_video(video)
+                history = (history or []) + [(msg, None)]
+            return history
+
+        def on_text(text, history):
+            reply = chat.respond(text)
+            return "", (history or []) + [(text, reply)]
+
+        def on_clear():
+            chat.reset()
+            return []
+
+        video_in.change(on_video, [video_in, chatbot], chatbot)
+        text_in.submit(on_text, [text_in, chatbot], [text_in, chatbot])
+        clear.click(on_clear, None, chatbot)
+    app.launch(share=share)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True)
+    p.add_argument("--processor", default=None)
+    p.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
+    p.add_argument("--terminal", action="store_true", help="force terminal mode")
+    p.add_argument("--share", action="store_true")
+    args = p.parse_args()
+
+    chat = EilevChat(args.model, args.processor, args.dtype)
+    if args.terminal:
+        run_terminal(chat)
+        return
+    try:
+        run_gradio(chat, args.share)
+    except ImportError:
+        print("gradio not installed; falling back to terminal mode")
+        run_terminal(chat)
+
+
+if __name__ == "__main__":
+    main()

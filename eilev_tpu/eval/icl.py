@@ -166,7 +166,8 @@ class IclEvaluator:
             True,
         )
         videos = np.stack([ex["video"] for ex in few_shot] + [datapoint["video"]])
-        pixel = process_videos(jnp.asarray(videos), dtype=self.dtype)
+        img = self.model.config.vision_config.image_size
+        pixel = process_videos(jnp.asarray(videos), height=img, width=img, dtype=self.dtype)
         return built, pixel
 
     def _classify(self, prompt: str, datapoint, few_shot, classes: list[str]) -> int:

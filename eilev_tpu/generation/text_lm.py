@@ -1,0 +1,136 @@
+"""Text-only LM generation: drive a bare decoder-only LM through the same
+compiled decoding loops as VideoBLIP.
+
+Role: the reference shells out to Llama-2-chat for its sentence-ification
+utilities (scripts/ego4d/generate_std_sent.py, scripts/epic-kitchens/
+transform_to_full_sent.py, the baselines' full-sentence generators). This
+framework runs those utilities on any local decoder-only checkpoint it supports
+(OPT-family) via :class:`TextLM`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import OPTConfig, VideoBlipConfig
+from ..models.opt import OPTForCausalLM
+from .config import GenerationConfig
+from .decoding import _beam_search_decoder_only, _greedy_sample_decoder_only
+
+
+class _TextOnlyModule(nn.Module):
+    """Adapter exposing the VideoBlip method surface the decoding loops use."""
+
+    config: VideoBlipConfig  # text_config is what matters
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.language_model = OPTForCausalLM(
+            self.config.text_config, dtype=self.dtype, name="language_model"
+        )
+
+    def embed_and_scatter(self, input_ids, pixel_values=None, video_input_mask=None):
+        del pixel_values, video_input_mask
+        return self.language_model.embed(input_ids)
+
+    def lm_embed(self, input_ids):
+        return self.language_model.embed(input_ids)
+
+    def lm_forward(self, inputs_embeds, attention_mask=None, cache=None):
+        return self.language_model(inputs_embeds, attention_mask=attention_mask, cache=cache)
+
+
+class TextLM:
+    """Load a local HF OPT-family causal LM dir and generate text."""
+
+    def __init__(self, path: str, dtype=jnp.bfloat16):
+        from ..models.auto import load_tokenizer
+        from ..models.convert import convert_opt, _SD
+
+        with open(os.path.join(path, "config.json")) as f:
+            hf = json.load(f)
+        if hf.get("model_type") != "opt":
+            raise ValueError(
+                f"TextLM supports OPT-family decoder-only checkpoints; got "
+                f"{hf.get('model_type')!r}. (The torch reference used Llama-2-chat "
+                "here; point --model at any local OPT-style instruct model.)"
+            )
+        text_cfg = OPTConfig(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            num_hidden_layers=hf["num_hidden_layers"],
+            num_attention_heads=hf["num_attention_heads"],
+            ffn_dim=hf["ffn_dim"],
+            max_position_embeddings=hf["max_position_embeddings"],
+            word_embed_proj_dim=hf.get("word_embed_proj_dim", hf["hidden_size"]),
+            do_layer_norm_before=hf.get("do_layer_norm_before", True),
+            activation_function=hf.get("activation_function", "relu"),
+            bos_token_id=hf.get("bos_token_id", 2),
+            eos_token_id=hf.get("eos_token_id", 2),
+            pad_token_id=hf.get("pad_token_id", 1),
+        )
+        self.config = VideoBlipConfig(text_config=text_cfg)
+        self.module = _TextOnlyModule(self.config, dtype=dtype)
+        self.tokenizer = load_tokenizer(path)
+
+        import glob
+
+        import numpy as np
+        from safetensors import safe_open
+
+        tensors = {}
+        for fpath in sorted(glob.glob(os.path.join(path, "*.safetensors"))):
+            with safe_open(fpath, framework="np") as sf:
+                for k in sf.keys():
+                    tensors[k] = sf.get_tensor(k)
+        # plain OPTForCausalLM checkpoints have no language_model. prefix
+        prefixed = {f"language_model.{k}": v for k, v in tensors.items()}
+        params = {"language_model": convert_opt(_SD(prefixed).sub("language_model."), text_cfg)}
+        if dtype is not None:
+            params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+        self.variables = {"params": params}
+
+    def generate(
+        self,
+        prompts: list[str],
+        generation_config: Optional[GenerationConfig] = None,
+        rng=None,
+    ) -> list[str]:
+        import numpy as np
+
+        from ..data.collate import _pad_1d
+
+        gen_cfg = generation_config or GenerationConfig(max_new_tokens=64)
+        if gen_cfg.eos_token_id is None:
+            gen_cfg = gen_cfg.with_eos(self.config.text_config.eos_token_id)
+        enc = [self.tokenizer(t)["input_ids"] for t in prompts]
+        longest = max(len(e) for e in enc)
+        ids = np.stack(
+            [_pad_1d(np.asarray(e), longest, self.tokenizer.pad_token_id, "left") for e in enc]
+        )
+        mask = np.stack(
+            [_pad_1d(np.ones(len(e), np.int64), longest, 0, "left") for e in enc]
+        )
+        embeds = self.module.apply(
+            self.variables, jnp.asarray(ids), method=_TextOnlyModule.embed_and_scatter
+        )
+        if gen_cfg.num_beams > 1:
+            tokens = _beam_search_decoder_only(
+                self.module, self.variables, embeds, jnp.asarray(mask), gen_cfg
+            )
+        else:
+            tokens = _greedy_sample_decoder_only(
+                self.module,
+                self.variables,
+                embeds,
+                jnp.asarray(mask),
+                gen_cfg,
+                rng if rng is not None else jax.random.PRNGKey(0),
+            )
+        return self.tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Batched narration generation over presampled in-context example maps.
+
+CLI-parity target: /root/reference/scripts/general/generate_narration_texts.py -
+left-padded batched generation with the fixed
+'Question: What is the camera wearer doing? Answer:' prompt, outputting
+(frame_path, video_uid, clip_index, generated, ground_truth,
+in_context_frame_paths) rows.
+
+TPU-native distribution: instead of one accelerate process per GPU with a
+host-side gather_object (reference :124-153), the batch shards across the mesh's
+"data" axis inside one jitted generate program; results come back as fixed-shape
+token arrays (no object gathers, no end-of-dataloader duplicate trimming).
+"""
+
+# allow running from a source checkout without installation
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..")))
+# honor JAX_PLATFORMS even under the axon TPU plugin (which overrides the env var)
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+
+import argparse
+import csv
+import json
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+PROMPT = "Question: What is the camera wearer doing? Answer:"
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True)
+    p.add_argument("--processor", default=None)
+    p.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
+    p.add_argument("--eval_frames_dir", required=True)
+    p.add_argument("--eval_annotation_file")
+    p.add_argument("--in_context_query_map_file", required=True)
+    p.add_argument("--in_context_example_frames_dir", required=True)
+    p.add_argument("--in_context_example_annotation_file")
+    p.add_argument("--batch_size", default=1, type=int)
+    p.add_argument("--print_narration_texts", action="store_true")
+    p.add_argument("--num_eval_datapoints", default=None, type=int)
+    p.add_argument("--random_seed", type=int, default=42)
+    p.add_argument("--generation_config", default='{"max_new_tokens": 512}')
+    p.add_argument("--shuffle_in_context_example_frames", action="store_true")
+    p.add_argument("--output_csv", required=True)
+    p.add_argument("--wandb_project", default=None)
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    from eilev_tpu.data.collate import DataCollatorForInterleavedVideoSeq2Seq
+    from eilev_tpu.data.frame import FrameInterleavedPresampledDataset
+    from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
+    from eilev_tpu.data.text import clean_narration_text, generate_chunks
+    from eilev_tpu.generation import GenerationConfig, generate
+    from eilev_tpu.models.auto import load_model, load_tokenizer
+    from eilev_tpu.ops.preprocess import process_videos
+    from eilev_tpu.utils import WandbLogger
+
+    model, variables, config = load_model(args.model, dtype=dtype)
+    tokenizer = load_tokenizer(args.processor or args.model)
+
+    decoder_only = config.use_decoder_only_language_model
+
+    def preprocess(datapoint):
+        items = datapoint["items"]
+        inputs = generate_input_ids_and_labels_from_interleaved(
+            tokenizer,
+            [(PROMPT + " " + clean_narration_text(i["narration_text"]), 1) for i in items[:-1]]
+            + [(PROMPT, 1)],
+            None,
+            config.num_query_tokens,
+            decoder_only,
+        )
+        query = items[-1]
+        return {
+            "narration_text": clean_narration_text(query["narration_text"]),
+            "in_context_frame_paths": [i["frame_path"] for i in items[:-1]],
+            "frame_path": query["frame_path"],
+            "video_uid": query["video_uid"],
+            "clip_index": query["clip_index"],
+            "pixel_values": np.stack([i["video"] for i in items]),
+            **inputs,
+        }
+
+    dataset = FrameInterleavedPresampledDataset(
+        args.eval_frames_dir,
+        args.in_context_query_map_file,
+        args.in_context_example_frames_dir,
+        annotation_file=args.eval_annotation_file,
+        in_context_example_annotation_file=args.in_context_example_annotation_file,
+        transform=preprocess,
+        shuffle_in_context_example_frames=args.shuffle_in_context_example_frames,
+        rng=random.Random(args.random_seed),
+    )
+    # batch generation needs left padding (reference :230)
+    collator = DataCollatorForInterleavedVideoSeq2Seq(
+        pad_token_id=tokenizer.pad_token_id, padding_side="left"
+    )
+
+    gen_json = json.loads(args.generation_config)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=gen_json.get("max_new_tokens", 512),
+        num_beams=gen_json.get("num_beams", 1),
+        do_sample=gen_json.get("do_sample", False),
+        temperature=gen_json.get("temperature", 1.0),
+        top_k=gen_json.get("top_k", 50),
+        top_p=gen_json.get("top_p", 1.0),
+        length_penalty=gen_json.get("length_penalty", 1.0),
+        pad_token_id=tokenizer.pad_token_id,
+    ).with_eos(gen_json.get("eos_token_id"))
+
+    logger = WandbLogger(project=args.wandb_project, enabled=args.wandb_project is not None)
+    rows = []
+    n = len(dataset) if args.num_eval_datapoints is None else min(args.num_eval_datapoints, len(dataset))
+    for chunk in generate_chunks(list(range(n)), args.batch_size):
+        feats = [dataset[i] for i in chunk]
+        meta = [
+            {
+                k: f[k]
+                for k in ("frame_path", "video_uid", "clip_index", "narration_text", "in_context_frame_paths")
+            }
+            for f in feats
+        ]
+        for f in feats:
+            for k in ("narration_text", "in_context_frame_paths", "frame_path", "video_uid", "clip_index"):
+                f.pop(k)
+        batch = collator(feats)
+        img = config.vision_config.image_size
+        pixel = process_videos(
+            jnp.asarray(batch["pixel_values"]), height=img, width=img, dtype=dtype
+        )
+        tokens = generate(
+            model,
+            variables,
+            input_ids=jnp.asarray(batch["input_ids"]),
+            attention_mask=jnp.asarray(batch["attention_mask"]),
+            pixel_values=pixel,
+            video_input_mask=jnp.asarray(batch["video_input_mask"]),
+            generation_config=gen_cfg,
+        )
+        texts = tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)
+        for m, text in zip(meta, texts):
+            row = {
+                "frame_path": m["frame_path"],
+                "video_uid": m["video_uid"],
+                "clip_index": m["clip_index"],
+                "generated": text.strip(),
+                "ground_truth": m["narration_text"],
+                "in_context_frame_paths": "|".join(m["in_context_frame_paths"]),
+            }
+            rows.append(row)
+            if args.print_narration_texts:
+                print(f"Generated: {row['generated']}  |  GT: {row['ground_truth']}")
+
+    with open(args.output_csv, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0]))
+        writer.writeheader()
+        writer.writerows(rows)
+    logger.log_table(
+        "generated_narration_texts",
+        list(rows[0]),
+        [[r[c] for c in rows[0]] for r in rows],
+    )
+    print(f"wrote {len(rows)} rows to {args.output_csv}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Verb/noun in-context-learning classification eval on Ego4D fho.
+
+CLI-parity target: /root/reference/scripts/general/icl_eval.py - two-stage
+classification ("...Answer: The camera wearer" -> verb, then
+"...The camera wearer {verb}" -> noun) by mean log-likelihood over the class
+prompt sets, macro F1 against the fho-lta taxonomy.
+
+Class prompt CSVs use the reference schema ('prompt,structured_verb' /
+'prompt,structured_noun' - scripts/ego4d/eval-data/*.csv in the reference).
+"""
+
+# allow running from a source checkout without installation
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..")))
+# honor JAX_PLATFORMS even under the axon TPU plugin (which overrides the env var)
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+
+import argparse
+import json
+import random
+
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True, help="HF save_pretrained dir")
+    p.add_argument("--processor", default=None, help="tokenizer dir (default: --model)")
+    p.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
+    p.add_argument("--fho_lta_taxonomy", required=True)
+    p.add_argument("--fho_main", required=True)
+    p.add_argument("--structured_verb_prompt", required=True)
+    p.add_argument("--structured_noun_prompt", required=True)
+    p.add_argument("--train_narrated_actions_dir", required=True)
+    p.add_argument("--eval_narrated_actions_dir", required=True)
+    p.add_argument("--num_shot", required=True, type=int)
+    p.add_argument("--num_eval_datapoints", default=0, type=int)
+    p.add_argument("--random-seed", type=int, default=42)
+    p.add_argument("--class_batch_size", type=int, default=None)
+    p.add_argument("--log_verb_preds", action="store_true")
+    p.add_argument("--log_noun_preds", action="store_true")
+    p.add_argument("--wandb_project", default=None)
+    p.add_argument("--output_json", default=None)
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    from eilev_tpu.data.frame import FrameDataset
+    from eilev_tpu.eval import (
+        IclEvaluator,
+        add_and_filter_verb_noun,
+        load_narrated_action_verb_noun,
+        load_prompt_map,
+    )
+    from eilev_tpu.models.auto import load_model, load_tokenizer
+    from eilev_tpu.utils import WandbLogger
+
+    model, variables, config = load_model(args.model, dtype=dtype)
+    tokenizer = load_tokenizer(args.processor or args.model)
+
+    with open(args.fho_lta_taxonomy) as f:
+        taxonomy = json.load(f)
+
+    verb_noun = load_narrated_action_verb_noun(args.fho_main)
+    train_dataset = add_and_filter_verb_noun(
+        verb_noun, FrameDataset(args.train_narrated_actions_dir), 0
+    )
+    eval_dataset = add_and_filter_verb_noun(
+        verb_noun, FrameDataset(args.eval_narrated_actions_dir), args.num_eval_datapoints
+    )
+
+    verb_prompts = load_prompt_map(args.structured_verb_prompt, "structured_verb")
+    noun_prompts = load_prompt_map(args.structured_noun_prompt, "structured_noun")
+    assert set(taxonomy["verbs"]) == set(verb_prompts.values())
+    assert set(taxonomy["nouns"]) == set(noun_prompts.values())
+
+    evaluator = IclEvaluator(
+        model,
+        variables,
+        tokenizer,
+        verb_prompts=verb_prompts,
+        noun_prompts=noun_prompts,
+        verbs=taxonomy["verbs"],
+        nouns=taxonomy["nouns"],
+        num_shot=args.num_shot,
+        class_batch_size=args.class_batch_size,
+        rng=random.Random(args.random_seed),
+        dtype=dtype,
+    )
+    result = evaluator.evaluate(eval_dataset, train_dataset, progress=True)
+
+    print(f"Verb F1: {result.verb_f1}")
+    print(f"Noun F1: {result.noun_f1}")
+    logger = WandbLogger(project=args.wandb_project, enabled=args.wandb_project is not None)
+    logger(0, {"verb_f1": result.verb_f1, "noun_f1": result.noun_f1})
+    if args.log_verb_preds and result.verb_predictions:
+        cols = list(result.verb_predictions[0])
+        logger.log_table("verb_pred_table", cols, [[r[c] for c in cols] for r in result.verb_predictions])
+    if args.log_noun_preds and result.noun_predictions:
+        cols = list(result.noun_predictions[0])
+        logger.log_table("noun_pred_table", cols, [[r[c] for c in cols] for r in result.noun_predictions])
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(
+                {
+                    "verb_f1": result.verb_f1,
+                    "noun_f1": result.noun_f1,
+                    "verb_predictions": result.verb_predictions,
+                    "noun_predictions": result.noun_predictions,
+                },
+                f,
+            )
+
+
+if __name__ == "__main__":
+    main()

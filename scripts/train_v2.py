@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""EILeV (v2) training: interleaved 16-shot fine-tuning of Q-Former + projection
++ query tokens on frozen towers.
+
+CLI-parity target: /root/reference/scripts/general/train_v2.py (+ the recipe in
+slurm-scripts/README.md:10-18 - global batch 128 = accum 16 x 8-way data
+parallel, lr 1e-4, warmup, bf16). On TPU the 8-way DDP becomes the mesh's
+"data" axis under one jit.
+
+Example:
+  python scripts/train_v2.py \
+    --model_name_or_path /path/to/blip2-opt-2.7b \
+    --train_frames_dir ... --val_frames_dir ... \
+    --num_subsample_frames 8 --train_num_in_context_examples_per_sample 16 \
+    --val_num_in_context_examples_per_sample 16 --verb_noun_ratio 0.5 \
+    --output_dir checkpoints/eilev-opt
+"""
+
+# allow running from a source checkout without installation
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..")))
+# honor JAX_PLATFORMS even under the axon TPU plugin (which overrides the env var)
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+
+import argparse
+import random
+
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    # model
+    p.add_argument("--model_name_or_path", required=True, help="HF save_pretrained dir")
+    p.add_argument("--num_subsample_frames", type=int, default=8)
+    p.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
+    # data (reference DataArguments)
+    p.add_argument("--train_frames_dir", required=True)
+    p.add_argument("--val_frames_dir", required=True)
+    p.add_argument("--train_annotation_file", default=None)
+    p.add_argument("--val_annotation_file", default=None)
+    p.add_argument("--train_num_in_context_examples_per_sample", type=int, default=16)
+    p.add_argument("--val_num_in_context_examples_per_sample", type=int, default=16)
+    p.add_argument("--verb_noun_ratio", type=float, default=0.5)
+    p.add_argument("--random_in_context_examples", action="store_true")
+    p.add_argument("--train_target_dataset_len", type=int, default=None)
+    p.add_argument("--max_length", type=int, default=1024, help="static token bucket")
+    # training (reference TrainingArguments subset)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--num_train_steps", type=int, default=5000)
+    p.add_argument("--per_device_train_batch_size", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=16)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--eval_steps", type=int, default=200)
+    p.add_argument("--save_steps", type=int, default=200)
+    p.add_argument("--save_total_limit", type=int, default=3)
+    p.add_argument("--logging_steps", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resume_from_checkpoint", action="store_true")
+    p.add_argument("--wandb_project", default=None)
+    p.add_argument("--data_parallel", type=int, default=None, help="mesh data axis size")
+    p.add_argument("--model_parallel", type=int, default=1, help="mesh model (TP) axis size")
+    p.add_argument("--export_hf", action="store_true", help="export final model as safetensors")
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    from eilev_tpu.data.frame import FrameInterleavedDataset
+    from eilev_tpu.models.auto import load_model, load_tokenizer
+    from eilev_tpu.parallel import make_mesh
+    from eilev_tpu.training import OptimizerConfig
+    from eilev_tpu.training.data_module import train_batch_iterator
+    from eilev_tpu.training.trainer import Trainer, TrainerConfig
+    from eilev_tpu.utils import WandbLogger
+
+    model, variables, config = load_model(args.model_name_or_path, dtype=dtype)
+    tokenizer = load_tokenizer(args.model_name_or_path)
+
+    mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
+    micro = args.per_device_train_batch_size * mesh.shape["data"]
+
+    train_data = FrameInterleavedDataset(
+        args.train_frames_dir,
+        annotation_file=args.train_annotation_file,
+        num_in_context_examples_per_sample=args.train_num_in_context_examples_per_sample,
+        verb_noun_ratio=args.verb_noun_ratio,
+        random_in_context_examples=args.random_in_context_examples,
+        target_dataset_len=args.train_target_dataset_len,
+        rng=random.Random(args.seed),
+    )
+    val_data = FrameInterleavedDataset(
+        args.val_frames_dir,
+        annotation_file=args.val_annotation_file,
+        in_context_example_frames_dir=args.train_frames_dir,
+        in_context_example_annotation_file=args.train_annotation_file,
+        num_in_context_examples_per_sample=args.val_num_in_context_examples_per_sample,
+        verb_noun_ratio=args.verb_noun_ratio,
+        random_in_context_examples=args.random_in_context_examples,
+        rng=random.Random(args.seed + 1),
+    )
+
+    decoder_only = config.use_decoder_only_language_model
+
+    def train_batches(seed):
+        return train_batch_iterator(
+            train_data,
+            tokenizer,
+            num_query_tokens=config.num_query_tokens,
+            decoder_only_lm=decoder_only,
+            accum_steps=args.gradient_accumulation_steps,
+            micro_batch_size=micro,
+            max_length=args.max_length,
+            num_frames=args.num_subsample_frames,
+            image_size=config.vision_config.image_size,
+            augment=True,
+            seed=seed,
+            dtype=dtype,
+        )
+
+    def eval_batches():
+        it = train_batch_iterator(
+            val_data,
+            tokenizer,
+            num_query_tokens=config.num_query_tokens,
+            decoder_only_lm=decoder_only,
+            accum_steps=1,
+            micro_batch_size=micro,
+            max_length=args.max_length,
+            num_frames=args.num_subsample_frames,
+            image_size=config.vision_config.image_size,
+            augment=False,  # deterministic val transform (reference :182-199)
+            seed=0,
+            epochs=1,
+            dtype=dtype,
+        )
+        for batch in it:
+            yield {k: v[0] for k, v in batch.items()}  # drop accum axis
+
+    trainer = Trainer(
+        model,
+        variables["params"],
+        TrainerConfig(
+            output_dir=args.output_dir,
+            num_train_steps=args.num_train_steps,
+            per_device_batch_size=args.per_device_train_batch_size,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+            optimizer=OptimizerConfig(
+                learning_rate=args.learning_rate,
+                warmup_steps=args.warmup_steps,
+                total_steps=args.num_train_steps,
+                weight_decay=args.weight_decay,
+            ),
+            eval_steps=args.eval_steps,
+            save_steps=args.save_steps,
+            save_total_limit=args.save_total_limit,
+            log_steps=args.logging_steps,
+            seed=args.seed,
+            resume_from_checkpoint=args.resume_from_checkpoint,
+        ),
+        train_batches=train_batches,
+        eval_batches=eval_batches,
+        mesh=mesh,
+        logger=WandbLogger(project=args.wandb_project, enabled=args.wandb_project is not None),
+    )
+    trainer.train()
+
+    if args.export_hf:
+        from eilev_tpu.training.checkpoint import export_hf_safetensors
+
+        export_hf_safetensors(trainer.current_params(), config, args.output_dir + "/hf")
+        print(f"exported HF safetensors to {args.output_dir}/hf")
+
+
+if __name__ == "__main__":
+    main()

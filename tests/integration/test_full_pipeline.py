@@ -1,0 +1,173 @@
+"""Full-system integration: synthetic Ego4D -> extract_frames CLI ->
+ICL sampling CLI -> batched generation CLI -> metric CLI.
+
+This is the end-to-end slice the reference never tests (its tests are unit-only,
+SURVEY.md section 4): every stage runs through the real CLI surface with a tiny
+random-weight checkpoint saved in HF format and a tiny offline-built tokenizer.
+"""
+
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _run(args, **env_extra):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(env_extra)
+    proc = subprocess.run(
+        [sys.executable] + args, capture_output=True, text=True, cwd=REPO, env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"{args}\nSTDOUT:\n{proc.stdout[-3000:]}\nSTDERR:\n{proc.stderr[-3000:]}"
+    return proc
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """Synthetic Ego4D world + tiny HF checkpoint + tokenizer."""
+    from tests.data.test_native_decoder import _write_y4m
+    from tests.models.hf_util import make_oracle
+    from tests.util_tokenizer import build_tiny_tokenizer
+
+    root = tmp_path_factory.mktemp("world")
+    videos = root / "videos"
+    videos.mkdir()
+    actions_per_video = 3
+    fho = {"videos": []}
+    split = {"split": "val", "videos": {}}
+    for vi in range(2):
+        uid = f"vid-{vi:03d}"
+        _write_y4m(str(videos / f"{uid}.mp4"), nframes=120, w=32, h=32, fps=10)
+        actions = []
+        for ai in range(actions_per_video):
+            actions.append(
+                {
+                    "is_rejected": False,
+                    "is_valid_action": True,
+                    "narration_text": f"#C C does action {vi}-{ai}",
+                    "narration_timestamp_sec": 3.0 + ai * 3.0,
+                    "structured_verb": ["take", "cut", "wash"][ai],
+                    "frames": [
+                        {
+                            "frame_type": "pnr_frame",
+                            "boxes": [
+                                {
+                                    "object_type": "object_of_change",
+                                    "structured_noun": ["knife", "onion", "plate"][ai],
+                                }
+                            ],
+                        }
+                    ],
+                }
+            )
+        fho["videos"].append(
+            {"video_uid": uid, "annotated_intervals": [{"narrated_actions": actions}]}
+        )
+        split["videos"][uid] = actions_per_video
+    (root / "fho_main.json").write_text(json.dumps(fho))
+    (root / "split_val.json").write_text(json.dumps(split))
+
+    # tiny HF checkpoint (the torch oracle saved in save_pretrained format)
+    model, cfg, _ = make_oracle("opt", image_size=32, patch_size=16, vocab_size=384)
+    ckpt = root / "checkpoint"
+    model.save_pretrained(str(ckpt), safe_serialization=True)
+    build_tiny_tokenizer(str(ckpt), vocab_size=384)
+    return root
+
+
+def test_extract_frames_cli(world):
+    frames_dir = world / "frames"
+    _run(
+        [
+            "scripts/ego4d/extract_frames.py",
+            "--fho_main_path", str(world / "fho_main.json"),
+            "--split_path", str(world / "split_val.json"),
+            "--video_dir_path", str(world / "videos"),
+            "--frames_dir", str(frames_dir),
+            "--num_subsample_frames", "4",
+            "--target_size", "32",
+        ]
+    )
+    with open(frames_dir / "narrated_actions.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 6
+    assert rows[0]["structured_noun"] in {"knife", "onion", "plate"}
+    # frame dirs exist with the {frame_path}|{i}.png naming
+    d = frames_dir / rows[0]["frame_path"]
+    assert len(list(d.glob("*.png"))) == 4
+
+    # loadable by FrameDataset
+    sys.path.insert(0, REPO)
+    from eilev_tpu.data.frame import FrameDataset
+
+    ds = FrameDataset(str(frames_dir))
+    assert len(ds) == 6
+    assert ds[0]["video"].shape == (3, 4, 32, 32)
+
+
+def test_sample_and_generate_and_eval_cli(world):
+    frames_dir = world / "frames"
+    if not frames_dir.exists():
+        pytest.skip("extract_frames test must run first")
+
+    # 1. pre-sample 2-shot ICL maps
+    prefix = str(world / "icl-map")
+    _run(
+        [
+            "scripts/sample_in_context_examples.py",
+            "--in_context_frames_dir", str(frames_dir),
+            "--eval_frames_dir", str(frames_dir),
+            "--num_shot", "2",
+            "--verb_noun_ratio", "0.5",
+            "--output_prefix", prefix,
+        ]
+    )
+    map_file = f"{prefix}-2-shot.jsonl"
+    maps = [json.loads(line) for line in open(map_file)]
+    assert len(maps) == 6
+    assert all(len(m["context"]) == 2 for m in maps)
+
+    # 2. batched generation with the tiny checkpoint
+    out_csv = str(world / "generated.csv")
+    _run(
+        [
+            "scripts/generate_narration_texts.py",
+            "--model", str(world / "checkpoint"),
+            "--dtype", "fp32",
+            "--eval_frames_dir", str(frames_dir),
+            "--in_context_query_map_file", map_file,
+            "--in_context_example_frames_dir", str(frames_dir),
+            "--batch_size", "2",
+            "--num_eval_datapoints", "4",
+            "--generation_config", '{"max_new_tokens": 4}',
+            "--output_csv", out_csv,
+        ]
+    )
+    rows = list(csv.DictReader(open(out_csv)))
+    assert len(rows) == 4
+    assert set(rows[0]) == {
+        "frame_path", "video_uid", "clip_index", "generated", "ground_truth",
+        "in_context_frame_paths",
+    }
+    assert rows[0]["ground_truth"].startswith("The camera wearer")
+
+    # 3. metric suite over the generated CSV
+    out_json = str(world / "metrics.json")
+    _run(
+        [
+            "scripts/generation_eval.py",
+            "--input_csv", out_csv,
+            "--output_json", out_json,
+        ]
+    )
+    metrics = json.load(open(out_json))
+    assert set(metrics) >= {"bleu", "rougeL"}
+    assert 0.0 <= metrics["rougeL"] <= 1.0
