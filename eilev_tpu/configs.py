@@ -61,6 +61,8 @@ class QFormerConfig:
     encoder_hidden_size: int = 1408
     layer_norm_eps: float = 1e-12
     hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
 
     @property
     def head_dim(self) -> int:

@@ -34,6 +34,7 @@ class QFormerMultiHeadAttention(nn.Module):
         hidden_states: jax.Array,
         kv_states: Optional[jax.Array] = None,
         padding_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.config
         nh, hd = cfg.num_attention_heads, cfg.head_dim
@@ -47,6 +48,11 @@ class QFormerMultiHeadAttention(nn.Module):
         k = k.reshape(b, l, nh, hd)
         v = v.reshape(b, l, nh, hd)
         out = dot_product_attention(q, k, v, padding_mask=padding_mask, scale=hd**-0.5)
+        # attention-prob dropout is applied to the OUTPUT here as an equivalent
+        # regularizer (flash-compatible); HF drops attention probabilities
+        out = nn.Dropout(self.config.attention_probs_dropout_prob)(
+            out, deterministic=deterministic
+        )
         return out.reshape(b, s, nh * hd)
 
 
@@ -57,8 +63,11 @@ class QFormerSelfOutput(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states: jax.Array, input_tensor: jax.Array) -> jax.Array:
+    def __call__(
+        self, hidden_states: jax.Array, input_tensor: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
         x = nn.Dense(self.config.hidden_size, dtype=self.dtype, name="dense")(hidden_states)
+        x = nn.Dropout(self.config.hidden_dropout_prob)(x, deterministic=deterministic)
         return nn.LayerNorm(use_fast_variance=False, 
             epsilon=self.config.layer_norm_eps, dtype=self.dtype, name="layer_norm"
         )(x + input_tensor)
@@ -75,12 +84,14 @@ class QFormerAttention(nn.Module):
         hidden_states: jax.Array,
         kv_states: Optional[jax.Array] = None,
         padding_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> jax.Array:
         attn_out = QFormerMultiHeadAttention(
             self.config, self.is_cross_attention, dtype=self.dtype, name="attention"
-        )(hidden_states, kv_states=kv_states, padding_mask=padding_mask)
+        )(hidden_states, kv_states=kv_states, padding_mask=padding_mask,
+          deterministic=deterministic)
         return QFormerSelfOutput(self.config, dtype=self.dtype, name="output")(
-            attn_out, hidden_states
+            attn_out, hidden_states, deterministic=deterministic
         )
 
 
@@ -91,11 +102,12 @@ class QFormerFFN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states: jax.Array) -> jax.Array:
+    def __call__(self, hidden_states: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(hidden_states)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         return nn.LayerNorm(use_fast_variance=False, epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(
             x + hidden_states
         )
@@ -112,15 +124,21 @@ class QFormerLayer(nn.Module):
         hidden_states: jax.Array,
         encoder_hidden_states: Optional[jax.Array] = None,
         encoder_padding_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> jax.Array:
-        x = QFormerAttention(self.config, dtype=self.dtype, name="attention")(hidden_states)
+        x = QFormerAttention(self.config, dtype=self.dtype, name="attention")(
+            hidden_states, deterministic=deterministic
+        )
         if self.has_cross_attention:
             assert encoder_hidden_states is not None
             x = QFormerAttention(
                 self.config, is_cross_attention=True, dtype=self.dtype, name="crossattention"
-            )(x, kv_states=encoder_hidden_states, padding_mask=encoder_padding_mask)
+            )(x, kv_states=encoder_hidden_states, padding_mask=encoder_padding_mask,
+              deterministic=deterministic)
         # query-token FFN branch (intermediate_query / output_query in HF)
-        return QFormerFFN(self.config, dtype=self.dtype, name="ffn_query")(x)
+        return QFormerFFN(self.config, dtype=self.dtype, name="ffn_query")(
+            x, deterministic=deterministic
+        )
 
 
 class QFormerModel(nn.Module):
@@ -140,11 +158,13 @@ class QFormerModel(nn.Module):
         query_embeds: jax.Array,
         encoder_hidden_states: jax.Array,
         encoder_attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.config
         x = nn.LayerNorm(use_fast_variance=False, epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layernorm")(
             query_embeds.astype(self.dtype)
         )
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         # (HF's Q-Former adds (1 - mask) * -10000; exp(-10000) == 0 in fp32, so a
         # hard key-padding mask is numerically identical.)
         for i in range(cfg.num_hidden_layers):
@@ -155,5 +175,6 @@ class QFormerModel(nn.Module):
                 x,
                 encoder_hidden_states=encoder_hidden_states if has_cross else None,
                 encoder_padding_mask=encoder_attention_mask if has_cross else None,
+                deterministic=deterministic,
             )
         return x

@@ -71,7 +71,7 @@ class VideoBlipForConditionalGeneration(nn.Module):
     # vision -> qformer -> projection
     # ------------------------------------------------------------------
 
-    def encode_videos(self, pixel_values: jax.Array) -> jax.Array:
+    def encode_videos(self, pixel_values: jax.Array, deterministic: bool = True) -> jax.Array:
         """(num_videos, C, T, H, W) -> flattened (num_videos * num_query_tokens,
         text_hidden) video features, reference v2.py:166-203."""
         cfg = self.config
@@ -81,7 +81,9 @@ class VideoBlipForConditionalGeneration(nn.Module):
             self.query_tokens.astype(self.dtype),
             (v, cfg.num_query_tokens, cfg.qformer_config.hidden_size),
         )
-        query_output = self.qformer(query, encoder_hidden_states=image_embeds)
+        query_output = self.qformer(
+            query, encoder_hidden_states=image_embeds, deterministic=deterministic
+        )
         features = self.language_projection(query_output)  # (V, Q, text_hidden)
         return features.reshape(v * cfg.num_query_tokens, -1)
 
@@ -95,11 +97,12 @@ class VideoBlipForConditionalGeneration(nn.Module):
         input_ids: jax.Array,
         pixel_values: Optional[jax.Array],
         video_input_mask: Optional[jax.Array],
+        deterministic: bool = True,
     ) -> jax.Array:
         inputs_embeds = self.language_model.embed(input_ids)
         if pixel_values is not None:
             assert video_input_mask is not None
-            video_features = self.encode_videos(pixel_values)
+            video_features = self.encode_videos(pixel_values, deterministic=deterministic)
             inputs_embeds = scatter_video_features(inputs_embeds, video_input_mask, video_features)
         return inputs_embeds
 
@@ -116,11 +119,14 @@ class VideoBlipForConditionalGeneration(nn.Module):
         labels: Optional[jax.Array] = None,
         decoder_input_ids: Optional[jax.Array] = None,
         decoder_attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> dict[str, jax.Array]:
         """Returns {'logits', 'loss'?}; loss replicates HF's mean-over-valid-tokens
         cross entropy (reference v2.py:219-238 delegates to the HF LM)."""
         cfg = self.config
-        inputs_embeds = self.embed_and_scatter(input_ids, pixel_values, video_input_mask)
+        inputs_embeds = self.embed_and_scatter(
+            input_ids, pixel_values, video_input_mask, deterministic=deterministic
+        )
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
 

@@ -351,3 +351,32 @@ def train_transform(
     x = random_resized_crop(k_crop, x, height, width, scale=(0.5, 1.0))
     x = random_horizontal_flip(k_flip, x)
     return x.astype(dtype)
+
+
+def random_short_side_scale(
+    key: jax.Array, video: jax.Array, min_size: int, max_size: int
+) -> jax.Array:
+    """pytorchvideo RandomShortSideScale: resize so the short side is a uniform
+    random int in [min_size, max_size] (bilinear). Static output shape under jit
+    requires a concrete size, so this op samples the size host-side from the key."""
+    import numpy as np
+
+    size = int(jax.random.randint(key, (), min_size, max_size + 1))
+    *lead, t, h, w = video.shape
+    if h < w:
+        nh, nw = size, int(np.floor(w / h * size))
+    else:
+        nh, nw = int(np.floor(h / w * size)), size
+    shape = (*video.shape[:-2], nh, nw)
+    return jax.image.resize(video.astype(jnp.float32), shape, method="bilinear")
+
+
+def random_crop(key: jax.Array, video: jax.Array, height: int, width: int) -> jax.Array:
+    """Uniform random spatial crop of the trailing (H, W) dims."""
+    h, w = video.shape[-2], video.shape[-1]
+    k1, k2 = jax.random.split(key)
+    top = jax.random.randint(k1, (), 0, max(h - height, 0) + 1)
+    left = jax.random.randint(k2, (), 0, max(w - width, 0) + 1)
+    start = [0] * (video.ndim - 2) + [top, left]
+    sizes = list(video.shape[:-2]) + [height, width]
+    return jax.lax.dynamic_slice(video, start, sizes)

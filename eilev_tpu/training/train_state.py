@@ -108,6 +108,7 @@ def make_train_step(
     *,
     accum_steps: int = 1,
     loss_key: str = "loss",
+    dropout: bool = True,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -115,9 +116,13 @@ def make_train_step(
     ``accum_steps`` (ONE device batch = accum_steps microbatches); pixel_values is
     (accum, videos_per_micro, C, T, H, W). With accum_steps == 1 the scan
     degenerates to a single iteration and XLA elides it.
+
+    With ``dropout`` (default, matching the reference: HF Trainer trains the
+    Q-Former with its 0.1 dropouts active) the per-step key is derived from the
+    step counter, so training is reproducible and resume-safe.
     """
 
-    def loss_fn(trainable, frozen, micro):
+    def loss_fn(trainable, frozen, micro, dropout_rng):
         params = merge_params(trainable, frozen)
         out = model.apply(
             {"params": params},
@@ -126,20 +131,26 @@ def make_train_step(
             pixel_values=micro.get("pixel_values"),
             video_input_mask=micro.get("video_input_mask"),
             labels=micro["labels"],
+            deterministic=not dropout,
+            rngs={"dropout": dropout_rng} if dropout else {},
         )
         return out[loss_key]
 
     grad_fn = jax.value_and_grad(loss_fn)
 
     def train_step(state: TrainState, frozen: Any, batch: Any):
-        def micro_step(carry, micro):
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+
+        def micro_step(carry, inp):
+            micro, rng = inp
             loss_sum, grad_sum = carry
-            loss, grads = grad_fn(state.trainable, frozen, micro)
+            loss, grads = grad_fn(state.trainable, frozen, micro, rng)
             return (loss_sum + loss, jax.tree.map(jnp.add, grad_sum, grads)), None
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.trainable)
+        micro_rngs = jax.random.split(base_rng, accum_steps)
         (loss_sum, grad_sum), _ = jax.lax.scan(
-            micro_step, (jnp.zeros((), jnp.float32), zero_grads), batch
+            micro_step, (jnp.zeros((), jnp.float32), zero_grads), (batch, micro_rngs)
         )
         inv = 1.0 / accum_steps
         loss = loss_sum * inv

@@ -52,6 +52,7 @@ class TrainerConfig:
     save_total_limit: int = 3
     log_steps: int = 10
     load_best_model_at_end: bool = True
+    dropout: bool = True  # reference trains the Q-Former with its 0.1 dropouts
     seed: int = 42
     resume_from_checkpoint: bool = False
     prefetch: int = 2
@@ -151,7 +152,11 @@ class Trainer:
             lambda x: jax.device_put(x, rep) if not _is_committed(x) else x, state
         )
         self._step_fn = jax.jit(
-            make_train_step(model, accum_steps=config.gradient_accumulation_steps)
+            make_train_step(
+                model,
+                accum_steps=config.gradient_accumulation_steps,
+                dropout=config.dropout,
+            )
         )
         self._eval_fn = jax.jit(lambda p, b: eval_step(model, p, b))
         self.best_eval_loss = float("inf")

@@ -76,7 +76,7 @@ def test_train_step_updates_only_trainable_and_learns(setup):
     trainable, frozen = partition_params(params)
     tx = make_optimizer(OptimizerConfig(learning_rate=5e-3, warmup_steps=0, total_steps=100))
     state = TrainState.create(trainable, tx)
-    step = jax.jit(make_train_step(model, accum_steps=1))
+    step = jax.jit(make_train_step(model, accum_steps=1, dropout=False))
     batch = jax.tree.map(jnp.asarray, _tiny_batch(cfg, 1, 2))
 
     losses = []
@@ -105,8 +105,8 @@ def test_grad_accum_equivalence(setup):
 
     s1 = TrainState.create(trainable, tx)
     s2 = TrainState.create(trainable, tx)
-    step_accum = jax.jit(make_train_step(model, accum_steps=2))
-    step_flat = jax.jit(make_train_step(model, accum_steps=1))
+    step_accum = jax.jit(make_train_step(model, accum_steps=2, dropout=False))
+    step_flat = jax.jit(make_train_step(model, accum_steps=1, dropout=False))
     s1, m1 = step_accum(s1, frozen, batch)
     s2, m2 = step_flat(s2, frozen, flat)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
@@ -128,7 +128,7 @@ def test_data_parallel_matches_single_device(setup):
 
     # single device
     s0 = TrainState.create(trainable, tx)
-    step = jax.jit(make_train_step(model, accum_steps=1))
+    step = jax.jit(make_train_step(model, accum_steps=1, dropout=False))
     s0, m0 = step(s0, frozen, jax.tree.map(jnp.asarray, batch))
 
     # 8-way DP: shard the microbatch axis 1 over 'data'

@@ -56,6 +56,7 @@ def test_trainer_end_to_end(tmp_path):
         eval_steps=3,
         save_steps=3,
         log_steps=1,
+        dropout=False,
     )
     trainer = Trainer(
         model,
@@ -90,6 +91,7 @@ def test_trainer_end_to_end(tmp_path):
             eval_steps=0,
             save_steps=0,
             log_steps=100,
+            dropout=False,
             resume_from_checkpoint=True,
         ),
         train_batches=_make_batches(cfg, 2, 1, steps=100, seed=0),
