@@ -95,11 +95,18 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "4"))  # 23.4 v/s at 4 vs 12.9 at 1
     v = batch * (SHOTS + 1)
     ids, mask, vim = build_prompt(cfg, batch)
-    pixel_host = np.random.default_rng(1).normal(size=(v, 3, FRAMES, 224, 224)).astype(np.float32)
+    # raw uint8 frames ship to the device (4x less H2D traffic than fp32);
+    # subsample/rescale/normalize fuse into the on-device program, like the
+    # production pipeline (ops.preprocess.process_videos)
+    pixel_host = np.random.default_rng(1).integers(
+        0, 256, size=(v, 3, FRAMES, 224, 224), dtype=np.uint8
+    )
 
     example = {
         "input_ids": jax.ShapeDtypeStruct(ids.shape, jnp.int32),
-        "pixel_values": jax.ShapeDtypeStruct(pixel_host.shape, jnp.bfloat16),
+        "pixel_values": jax.ShapeDtypeStruct(
+            (v, 3, FRAMES, 224, 224), jnp.bfloat16
+        ),
         "video_input_mask": jax.ShapeDtypeStruct(vim.shape, jnp.int32),
     }
     params = random_bf16_params(model, example)
@@ -114,10 +121,16 @@ def main() -> None:
     vim_d = jnp.asarray(vim, jnp.int32)
     rng = jax.random.PRNGKey(0)
 
+    from eilev_tpu.ops.preprocess import process_videos
+
+    @jax.jit
+    def encode(variables, pixel_u8):
+        pixel = process_videos(pixel_u8, dtype=jnp.bfloat16)
+        return model.apply(variables, ids_d, pixel, vim_d, method=VB.embed_and_scatter)
+
     def one_step(pixel_np):
         # host->device transfer counted, like the reference's per-batch H2D copy
-        pixel = jnp.asarray(pixel_np, jnp.bfloat16)
-        embeds = model.apply(variables, ids_d, pixel, vim_d, method=VB.embed_and_scatter)
+        embeds = encode(variables, jnp.asarray(pixel_np))
         tokens = _greedy_sample_decoder_only(model, variables, embeds, mask_d, gen_cfg, rng)
         return jax.block_until_ready(tokens)
 

@@ -1,0 +1,99 @@
+"""train_batch_iterator: static shapes, label masking, prompt-pool assembly."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from eilev_tpu.training.data_module import train_batch_iterator
+from tests.data.mock_tokenizer import MockTokenizer
+
+
+class _DS:
+    """Interleaved-style dataset: {'items': [example, query]} with tiny videos."""
+
+    def __init__(self, n=6, videos_per=2):
+        self.n = n
+        self.videos_per = videos_per
+        rng = np.random.default_rng(0)
+        self.videos = rng.integers(0, 256, (n, 3, 4, 16, 16)).astype(np.uint8)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        items = [
+            {"narration_text": f"#C C does thing {j}", "video": self.videos[(i + j) % self.n]}
+            for j in range(self.videos_per)
+        ]
+        return {"items": items}
+
+
+@pytest.mark.parametrize("augment", [False, True])
+def test_static_shapes_and_masking(augment):
+    tok = MockTokenizer()
+    ds = _DS()
+    it = train_batch_iterator(
+        ds,
+        tok,
+        num_query_tokens=3,
+        decoder_only_lm=True,
+        accum_steps=2,
+        micro_batch_size=1,
+        max_length=48,
+        num_frames=2,
+        image_size=16,
+        augment=augment,
+        seed=0,
+        epochs=1,
+    )
+    batches = list(it)
+    assert len(batches) == 3  # 6 samples / (2 accum * 1 micro)
+    for b in batches:
+        assert b["input_ids"].shape == (2, 1, 48)
+        assert b["attention_mask"].shape == (2, 1, 48)
+        assert b["labels"].shape == (2, 1, 48)
+        assert b["video_input_mask"].shape == (2, 1, 48)
+        # 2 videos per sample, (accum * micro * videos) clips
+        assert b["pixel_values"].shape == (2, 2, 3, 2, 16, 16)
+        assert np.isfinite(b["pixel_values"]).all()
+        # padding region masked
+        pad_region = b["attention_mask"] == 0
+        assert (b["labels"][pad_region] == -100).all()
+        # video positions have mask 1 and label -100
+        vim = b["video_input_mask"].astype(bool)
+        assert vim.sum() == 2 * 1 * 2 * 3  # accum*micro*videos*query_tokens
+        assert (b["labels"][vim] == -100).all()
+        # target text tokens exist (labels != -100 somewhere)
+        assert (b["labels"] != -100).any()
+
+
+def test_v1_mode():
+    tok = MockTokenizer()
+
+    class _V1DS(_DS):
+        def __getitem__(self, i):
+            return {"narration_text": f"#C C acts {i}", "video": self.videos[i]}
+
+    ds = _V1DS()
+    it = train_batch_iterator(
+        ds,
+        tok,
+        num_query_tokens=3,
+        decoder_only_lm=True,
+        accum_steps=1,
+        micro_batch_size=2,
+        max_length=24,
+        num_frames=2,
+        image_size=16,
+        augment=False,
+        seed=0,
+        epochs=1,
+        interleaved=False,
+    )
+    b = next(iter(it))
+    assert b["input_ids"].shape == (1, 2, 24)
+    assert b["pixel_values"].shape == (1, 2, 3, 2, 16, 16)
+    assert "video_input_mask" not in b
