@@ -99,19 +99,29 @@ def _greedy_sample_decoder_only(
     gen_cfg: GenerationConfig,
     rng: jax.Array,
 ) -> jax.Array:
-    """Single compiled program: prefill + scan over max_new_tokens steps.
+    """Single compiled program: prefill + while_loop decode with EARLY EXIT when
+    every sequence has emitted eos (HF semantics; the reference's narration
+    workload budgets max_new_tokens=512 but generates ~10 tokens, so exiting at
+    the actual length is a ~50x step saving - generate_narration_texts.py:203).
 
-    Returns generated tokens (B, max_new_tokens); positions after eos hold pad,
-    matching HF ``generate(inputs_embeds=...)`` which returns only new tokens.
+    Returns generated tokens (B, max_new_tokens); positions after eos hold pad.
     """
     b = inputs_embeds.shape[0]
-    last_logits, cache = _prefill(model, variables, inputs_embeds, attention_mask, gen_cfg.max_new_tokens)
+    max_new = gen_cfg.max_new_tokens
+    last_logits, cache = _prefill(model, variables, inputs_embeds, attention_mask, max_new)
+    out_buf = jnp.full((b, max_new), gen_cfg.pad_token_id, jnp.int32)
 
-    def step(carry, step_rng):
-        cache, logits, finished = carry
+    def cond(carry):
+        step, _, _, finished, _, _ = carry
+        return jnp.logical_and(step < max_new, ~jnp.all(finished))
+
+    def body(carry):
+        step, cache, logits, finished, out, cur_rng = carry
+        cur_rng, step_rng = jax.random.split(cur_rng)
         tok = _select_token(logits, gen_cfg, step_rng)
         tok = jnp.where(finished, gen_cfg.pad_token_id, tok)
         new_finished = finished | _is_eos(tok, gen_cfg)
+        out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, step))
         embeds = model.apply(variables, tok[:, None], method=VB.lm_embed)
         next_logits, cache = model.apply(
             variables,
@@ -120,13 +130,11 @@ def _greedy_sample_decoder_only(
             cache=cache,
             method=VB.lm_forward,
         )
-        return (cache, next_logits[:, -1], new_finished), tok
+        return (step + 1, cache, next_logits[:, -1], new_finished, out, cur_rng)
 
-    rngs = jax.random.split(rng, gen_cfg.max_new_tokens)
-    (_, _, _), tokens = jax.lax.scan(
-        step, (cache, last_logits, jnp.zeros((b,), bool)), rngs
-    )
-    return tokens.T  # (B, max_new)
+    carry = (jnp.zeros((), jnp.int32), cache, last_logits, jnp.zeros((b,), bool), out_buf, rng)
+    _, _, _, _, out, _ = jax.lax.while_loop(cond, body, carry)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +290,118 @@ def _beam_search_decoder_only(
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _t5_beam_step(model: VB, variables, tokens, encoder_hidden, encoder_mask, cache):
+    logits, cache = model.apply(
+        variables, tokens[:, None], encoder_hidden, encoder_mask, cache, method=VB.t5_decode_step
+    )
+    return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1), cache
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _t5_reorder_cache(model: VB, cache, beam_idx: jax.Array):
+    del model
+    out = dict(cache)
+    for key in ("k", "v", "cross_k", "cross_v"):
+        out[key] = jnp.take(cache[key], beam_idx, axis=1)
+    return out
+
+
+def _beam_search_seq2seq(
+    model: VB,
+    variables,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    gen_cfg: GenerationConfig,
+) -> jax.Array:
+    """HF-semantics beam search for the T5 family (same device-step/host-
+    bookkeeping split as the decoder-only path)."""
+    tcfg = model.config.text_config
+    b = inputs_embeds.shape[0]
+    nb = gen_cfg.num_beams
+    eos = gen_cfg.eos_token_id or ()
+    pad = gen_cfg.pad_token_id
+
+    encoder_hidden = model.apply(variables, inputs_embeds, attention_mask, method=VB.t5_encode)
+    encoder_hidden = jnp.repeat(encoder_hidden, nb, axis=0)
+    enc_mask = jnp.repeat(attention_mask, nb, axis=0)
+    cache = model.apply(
+        variables,
+        encoder_hidden,
+        gen_cfg.max_new_tokens + 1,
+        method=lambda mdl, h, n: mdl.language_model.init_decode_cache(h, n),
+    )
+    start = jnp.full((b * nb,), tcfg.decoder_start_token_id, jnp.int32)
+    logprobs_dev, cache = _t5_beam_step(model, variables, start, encoder_hidden, enc_mask, cache)
+    logprobs = np.asarray(logprobs_dev)
+
+    beam_scores = np.full((b, nb), -1e9, np.float32)
+    beam_scores[:, 0] = 0.0
+    hyps = [_BeamHypotheses(nb, gen_cfg.length_penalty, gen_cfg.early_stopping) for _ in range(b)]
+    done = [False] * b
+    generated = np.zeros((b * nb, 0), np.int64)
+
+    for cur_len in range(1, gen_cfg.max_new_tokens + 1):
+        vocab = logprobs.shape[-1]
+        flat = (logprobs.reshape(b, nb, vocab) + beam_scores[:, :, None]).reshape(b, nb * vocab)
+        top_idx = np.argsort(-flat, axis=1, kind="stable")[:, : 2 * nb]
+        top_scores = np.take_along_axis(flat, top_idx, axis=1)
+        top_tokens = top_idx % vocab
+        top_beams = top_idx // vocab
+
+        next_scores = np.zeros((b, nb), np.float32)
+        next_tokens = np.zeros((b, nb), np.int64)
+        next_indices = np.zeros((b, nb), np.int64)
+        for bi in range(b):
+            if done[bi]:
+                next_scores[bi] = 0.0
+                next_tokens[bi] = pad
+                next_indices[bi] = bi * nb
+                continue
+            slot = 0
+            for rank in range(2 * nb):
+                token = int(top_tokens[bi, rank])
+                score = float(top_scores[bi, rank])
+                src = bi * nb + int(top_beams[bi, rank])
+                if token in eos:
+                    if rank >= nb:
+                        continue
+                    hyps[bi].add(np.append(generated[src], token), score)
+                else:
+                    next_scores[bi, slot] = score
+                    next_tokens[bi, slot] = token
+                    next_indices[bi, slot] = src
+                    slot += 1
+                if slot == nb:
+                    break
+            done[bi] = done[bi] or hyps[bi].is_done(float(top_scores[bi, 0]), cur_len)
+
+        beam_scores = next_scores
+        reorder = next_indices.reshape(-1)
+        generated = np.concatenate([generated[reorder], next_tokens.reshape(-1, 1)], axis=1)
+        if all(done) or cur_len == gen_cfg.max_new_tokens:
+            break
+        cache = _t5_reorder_cache(model, cache, jnp.asarray(reorder))
+        logprobs_dev, cache = _t5_beam_step(
+            model, variables, jnp.asarray(next_tokens.reshape(-1), jnp.int32),
+            encoder_hidden, enc_mask, cache,
+        )
+        logprobs = np.asarray(logprobs_dev)
+
+    for bi in range(b):
+        if done[bi]:
+            continue
+        for beam in range(nb):
+            hyps[bi].add(generated[bi * nb + beam], float(beam_scores[bi, beam]))
+    best = [max(h.beams, key=lambda x: x[0])[1] for h in hyps]
+    max_len = max(len(h) for h in best)
+    out = np.full((b, max_len + 1), pad, np.int64)
+    out[:, 0] = tcfg.decoder_start_token_id
+    for bi, h in enumerate(best):
+        out[bi, 1 : 1 + len(h)] = h
+    return jnp.asarray(out)
+
+
 @functools.partial(jax.jit, static_argnames=("model", "gen_cfg"))
 def _greedy_sample_seq2seq(
     model: VB,
@@ -304,21 +424,29 @@ def _greedy_sample_seq2seq(
     logits, cache = model.apply(
         variables, start, encoder_hidden, attention_mask, cache, method=VB.t5_decode_step
     )
+    max_new = gen_cfg.max_new_tokens
+    out_buf = jnp.full((b, max_new), gen_cfg.pad_token_id, jnp.int32)
 
-    def step(carry, step_rng):
-        cache, logits, finished = carry
+    def cond(carry):
+        step, _, _, finished, _, _ = carry
+        return jnp.logical_and(step < max_new, ~jnp.all(finished))
+
+    def body(carry):
+        step, cache, logits, finished, out, cur_rng = carry
+        cur_rng, step_rng = jax.random.split(cur_rng)
         tok = _select_token(logits[:, -1], gen_cfg, step_rng)
         tok = jnp.where(finished, gen_cfg.pad_token_id, tok)
         new_finished = finished | _is_eos(tok, gen_cfg)
+        out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, step))
         next_logits, cache = model.apply(
             variables, tok[:, None], encoder_hidden, attention_mask, cache, method=VB.t5_decode_step
         )
-        return (cache, next_logits, new_finished), tok
+        return (step + 1, cache, next_logits, new_finished, out, cur_rng)
 
-    rngs = jax.random.split(rng, gen_cfg.max_new_tokens)
-    _, tokens = jax.lax.scan(step, (cache, logits, jnp.zeros((b,), bool)), rngs)
+    carry = (jnp.zeros((), jnp.int32), cache, logits, jnp.zeros((b,), bool), out_buf, rng)
+    _, _, _, _, out, _ = jax.lax.while_loop(cond, body, carry)
     # HF sequences start with decoder_start_token_id
-    return jnp.concatenate([start, tokens.T], axis=1)
+    return jnp.concatenate([start, out], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -376,5 +504,5 @@ def generate(
             model, variables, inputs_embeds, attention_mask, gen_cfg, rng
         )
     if gen_cfg.num_beams > 1:
-        raise NotImplementedError("beam search for seq2seq LMs lands with the T5 eval path")
+        return _beam_search_seq2seq(model, variables, inputs_embeds, attention_mask, gen_cfg)
     return _greedy_sample_seq2seq(model, variables, inputs_embeds, attention_mask, gen_cfg, rng)

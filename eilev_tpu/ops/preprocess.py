@@ -37,11 +37,48 @@ def uniform_temporal_subsample(video: jax.Array, num_samples: int) -> jax.Array:
     return jnp.take(video, idx, axis=-3)
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_matrix(in_size: int, out_size: int, antialias: bool) -> "np.ndarray":
+    """(out, in) separable Keys-cubic (a=-0.5) resampling weights, antialiased
+    when downscaling - the same filter family as torchvision/PIL bicubic."""
+    import numpy as np
+
+    scale = out_size / in_size
+    kernel_scale = min(scale, 1.0) if antialias else 1.0
+
+    def cubic(x):
+        x = np.abs(x)
+        a = -0.5
+        return np.where(
+            x <= 1,
+            (a + 2) * x**3 - (a + 3) * x**2 + 1,
+            np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0),
+        )
+
+    out_pos = (np.arange(out_size) + 0.5) / scale - 0.5  # source coords
+    in_pos = np.arange(in_size)
+    w = cubic((out_pos[:, None] - in_pos[None, :]) * kernel_scale)
+    w = w / w.sum(axis=1, keepdims=True)
+    return w.astype(np.float32)
+
+
 def resize_video(video: jax.Array, height: int, width: int, *, antialias: bool = True) -> jax.Array:
     """Bicubic resize of the trailing (H, W) dims (torchvision Resize(bicubic,
-    antialias=True) analogue)."""
-    shape = (*video.shape[:-2], height, width)
-    return jax.image.resize(video.astype(jnp.float32), shape, method="bicubic", antialias=antialias)
+    antialias=True) analogue).
+
+    Implemented as two separable matmuls with precomputed cubic weights: the
+    resample rides the MXU as dense GEMMs instead of jax.image's general-conv
+    lowering, which is pathologically slow on TPU.
+    """
+    *lead, h, w = video.shape
+    if (h, w) == (height, width):
+        return video.astype(jnp.float32)
+    wh = jnp.asarray(_resize_matrix(h, height, antialias))  # (H', H)
+    ww = jnp.asarray(_resize_matrix(w, width, antialias))  # (W', W)
+    x = video.astype(jnp.float32)
+    x = jnp.einsum("...hw,oh->...ow", x, wh)
+    x = jnp.einsum("...hw,pw->...hp", x, ww)
+    return x
 
 
 def rescale(video: jax.Array) -> jax.Array:
@@ -72,7 +109,11 @@ def process_videos(
     x = videos
     if num_frames is not None:
         x = uniform_temporal_subsample(x, num_frames)
-    x = resize_video(x, height, width)
+    # jax.image antialiased resize lowers to a general conv that is very slow on
+    # TPU even at identity scale; skip it when the size already matches
+    # (measured: 9.4 -> 36 videos/s on the 16-shot bench).
+    if x.shape[-2:] != (height, width):
+        x = resize_video(x, height, width)
     x = rescale(x)
     x = normalize(x)
     return x.astype(dtype)

@@ -279,3 +279,38 @@ def test_classify_matches_full_forward(opt_setup):
                 total += logp[bi, pos - 1, class_ids[ci, ti]]
             expected = total / clen
             np.testing.assert_allclose(ll[bi, ci], expected, atol=2e-4, rtol=2e-4)
+
+
+def test_t5_beam_token_identical():
+    model, cfg, params = make_oracle("t5")
+    rng = np.random.default_rng(13)
+    b, t, s = 2, 2, 10
+    img = cfg.vision_config.image_size
+    pixel = rng.normal(size=(b, 3, t, img, img)).astype(np.float32)
+    ids = rng.integers(4, cfg.text_config.vocab_size, size=(b, s))
+    mask = np.ones((b, s), np.int64)
+    vim = np.zeros((b, s), np.int64)
+    vim[:, : cfg.num_query_tokens] = 1
+
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=6, do_sample=False, num_beams=3,
+    )
+    m = VideoBlipForConditionalGeneration(cfg)
+    ours = np.asarray(
+        generate(
+            m,
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            video_input_mask=jnp.asarray(vim),
+            generation_config=GenerationConfig(
+                max_new_tokens=6,
+                num_beams=3,
+                pad_token_id=cfg.text_config.pad_token_id,
+                eos_token_id=(cfg.text_config.eos_token_id,),
+            ),
+        )
+    )
+    n = min(ref.shape[1], ours.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])

@@ -1,0 +1,85 @@
+"""TextLM: local OPT-family checkpoint -> text generation (the Llama-2 role)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "tests")
+
+
+@pytest.fixture(scope="module")
+def opt_checkpoint(tmp_path_factory):
+    from transformers import OPTConfig as HFOPTConfig, OPTForCausalLM
+
+    from tests.util_tokenizer import build_tiny_tokenizer
+
+    d = str(tmp_path_factory.mktemp("opt_ckpt"))
+    cfg = HFOPTConfig(
+        vocab_size=384, hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+        ffn_dim=32, max_position_embeddings=128, word_embed_proj_dim=16,
+        dropout=0.0, attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = OPTForCausalLM(cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    build_tiny_tokenizer(d, vocab_size=384)
+    return d, model
+
+
+def test_text_lm_greedy_matches_hf(opt_checkpoint):
+    path, hf_model = opt_checkpoint
+    import jax.numpy as jnp
+
+    from eilev_tpu.generation import GenerationConfig
+    from eilev_tpu.generation.text_lm import TextLM
+
+    lm = TextLM(path, dtype=jnp.float32)
+    prompts = ["The camera wearer opens a drawer", "Question: What is the camera wearer doing?"]
+    texts = lm.generate(
+        prompts,
+        GenerationConfig(max_new_tokens=6, pad_token_id=lm.tokenizer.pad_token_id,
+                         eos_token_id=(0,)),
+    )
+    assert len(texts) == 2
+
+    # token-level parity against HF generate on the same left-padded batch
+    from eilev_tpu.data.collate import _pad_1d
+
+    enc = [lm.tokenizer(t)["input_ids"] for t in prompts]
+    longest = max(len(e) for e in enc)
+    ids = np.stack([_pad_1d(np.asarray(e), longest, lm.tokenizer.pad_token_id, "left") for e in enc])
+    mask = np.stack([_pad_1d(np.ones(len(e), np.int64), longest, 0, "left") for e in enc])
+    with torch.no_grad():
+        ref = hf_model.generate(
+            inputs_embeds=hf_model.get_input_embeddings()(torch.tensor(ids)),
+            attention_mask=torch.tensor(mask),
+            max_new_tokens=6, do_sample=False, eos_token_id=0, pad_token_id=1,
+        ).numpy()
+    embeds = lm.module.apply(lm.variables, jnp.asarray(ids), method=type(lm.module).embed_and_scatter)
+    from eilev_tpu.generation.decoding import _greedy_sample_decoder_only
+    import jax
+
+    ours = np.asarray(
+        _greedy_sample_decoder_only(
+            lm.module, lm.variables, embeds, jnp.asarray(mask),
+            GenerationConfig(max_new_tokens=6, pad_token_id=1, eos_token_id=(0,)),
+            jax.random.PRNGKey(0),
+        )
+    )
+    n = min(ref.shape[1], ours.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+def test_text_lm_rejects_non_opt(tmp_path):
+    import json
+
+    d = tmp_path / "t5dir"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({"model_type": "t5"}))
+    from eilev_tpu.generation.text_lm import TextLM
+
+    with pytest.raises(ValueError, match="OPT-family"):
+        TextLM(str(d))

@@ -1,0 +1,119 @@
+"""icl_eval CLI end to end: synthetic frames + taxonomy + prompt CSVs + tiny
+checkpoint -> verb/noun F1 JSON."""
+
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    import imageio.v3 as iio
+
+    from tests.models.hf_util import make_oracle
+    from tests.util_tokenizer import build_tiny_tokenizer
+
+    root = tmp_path_factory.mktemp("icl_world")
+    frames = root / "frames"
+    frames.mkdir()
+    verbs = ["take", "cut"]
+    nouns = ["knife", "onion"]
+    rng = np.random.default_rng(0)
+    rows = []
+    fho = {"videos": []}
+    for i in range(4):
+        uid = f"vid{i}"
+        fp = f"{uid}|0"
+        d = frames / fp
+        d.mkdir()
+        for t in range(2):
+            iio.imwrite(d / f"{fp}|{t}.png", rng.integers(0, 255, (32, 32, 3)).astype(np.uint8), extension=".png")
+        v, n = verbs[i % 2], nouns[i // 2]
+        rows.append(
+            dict(frame_path=fp, video_uid=uid, clip_index="0",
+                 narration_timestamp_sec="4.0", narration_text=f"#C C does {v} {n}",
+                 structured_verb=v, structured_noun=n)
+        )
+        fho["videos"].append(
+            {
+                "video_uid": uid,
+                "annotated_intervals": [
+                    {
+                        "narrated_actions": [
+                            {
+                                "structured_verb": v,
+                                "frames": [
+                                    {
+                                        "frame_type": "pnr_frame",
+                                        "boxes": [
+                                            {"object_type": "object_of_change", "structured_noun": n}
+                                        ],
+                                    }
+                                ],
+                            }
+                        ]
+                    }
+                ],
+            }
+        )
+    with open(frames / "narrated_actions.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    (root / "fho_main.json").write_text(json.dumps(fho))
+    (root / "taxonomy.json").write_text(json.dumps({"verbs": verbs, "nouns": nouns}))
+    with open(root / "verb_prompts.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["prompt", "structured_verb"])
+        w.writerow(["takes", "take"])
+        w.writerow(["cuts", "cut"])
+    with open(root / "noun_prompts.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["prompt", "structured_noun"])
+        w.writerow(["a knife", "knife"])
+        w.writerow(["an onion", "onion"])
+
+    model, cfg, _ = make_oracle("opt", image_size=32, patch_size=16, vocab_size=384)
+    ckpt = root / "checkpoint"
+    model.save_pretrained(str(ckpt), safe_serialization=True)
+    build_tiny_tokenizer(str(ckpt), vocab_size=384)
+    return root
+
+
+def test_icl_eval_cli(world):
+    out_json = str(world / "result.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [
+            sys.executable, "scripts/icl_eval.py",
+            "--model", str(world / "checkpoint"),
+            "--dtype", "fp32",
+            "--fho_lta_taxonomy", str(world / "taxonomy.json"),
+            "--fho_main", str(world / "fho_main.json"),
+            "--structured_verb_prompt", str(world / "verb_prompts.csv"),
+            "--structured_noun_prompt", str(world / "noun_prompts.csv"),
+            "--train_narrated_actions_dir", str(world / "frames"),
+            "--eval_narrated_actions_dir", str(world / "frames"),
+            "--num_shot", "1",
+            "--num_eval_datapoints", "3",
+            "--class_batch_size", "2",
+            "--output_json", out_json,
+        ],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    result = json.load(open(out_json))
+    assert 0.0 <= result["verb_f1"] <= 1.0
+    assert 0.0 <= result["noun_f1"] <= 1.0
+    assert len(result["verb_predictions"]) == 3
+    assert len(result["noun_predictions"]) == 3
+    # two-stage flow: every noun prediction conditioned on a predicted verb prompt
+    assert all(p["predicted_verb_prompt"] in {"takes", "cuts"} for p in result["verb_predictions"])
+    assert all(p["prediction"] in {"knife", "onion"} for p in result["noun_predictions"])
