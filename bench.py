@@ -40,7 +40,7 @@ SHOTS = 16
 FRAMES = 8
 MAX_NEW_TOKENS = 32
 TEXT_TOKENS_PER_SHOT = 12  # instruction/narration text per shot, ~EILeV prompts
-REPS = 5
+REPS = 3
 EST_REFERENCE_VIDEOS_PER_SEC_PER_ACCEL = 3.45
 
 
