@@ -83,6 +83,7 @@ class OPTConfig:
     do_layer_norm_before: bool = True
     activation_function: str = "relu"
     layer_norm_eps: float = 1e-5
+    dropout: float = 0.1  # HF OPT default; active during reference training
     # token ids (facebook/opt-*)
     bos_token_id: int = 2
     eos_token_id: int = 2
@@ -108,6 +109,7 @@ class T5Config:
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
     layer_norm_epsilon: float = 1e-6
+    dropout_rate: float = 0.1  # HF T5 default; active during reference training
     # "gated-gelu" -> gelu_new (tanh approximation) on the gate branch.
     is_gated_act: bool = True
     dense_act_fn: str = "gelu_new"

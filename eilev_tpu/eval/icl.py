@@ -170,24 +170,57 @@ class IclEvaluator:
         pixel = process_videos(jnp.asarray(videos), height=img, width=img, dtype=self.dtype)
         return built, pixel
 
-    def _classify(self, prompt: str, datapoint, few_shot, classes: list[str]) -> int:
-        built, pixel = self._build_prompt(prompt, datapoint, few_shot)
+    def _classify_batch(
+        self,
+        prompts: list[str],
+        datapoints: list[dict],
+        few_shots: list[list[dict]],
+        classes: list[str],
+    ) -> list[int]:
+        """Classify a BATCH of datapoints in one device program (the reference
+        loops one datapoint per classify call - icl_eval.py:239-313; batching
+        over the 'data' axis is the TPU-native eval speedup). Prompts are
+        left-padded to a shared bucket (classify requires left padding)."""
+        builts, pixels = [], []
+        for prompt, dp, fs in zip(prompts, datapoints, few_shots):
+            built, pixel = self._build_prompt(prompt, dp, fs)
+            builts.append(built)
+            pixels.append(pixel)
+        # bucket the prompt length to a multiple of 64 to bound recompiles
+        longest = max(len(b["input_ids"]) for b in builts)
+        bucket = ((longest + 63) // 64) * 64
+        ids = np.stack(
+            [_pad_1d(b["input_ids"], bucket, self.tokenizer.pad_token_id, "left") for b in builts]
+        )
+        mask = np.stack(
+            [_pad_1d(np.ones(len(b["input_ids"]), np.int64), bucket, 0, "left") for b in builts]
+        )
+        vim = np.stack([_pad_1d(b["video_input_mask"], bucket, 0, "left") for b in builts])
+        pixel = jnp.concatenate(pixels, axis=0)
         class_ids, class_mask = self._tokenize_classes(classes)
         ll = classify(
             self.model,
             self.variables,
-            prompt_input_ids=jnp.asarray(built["input_ids"])[None],
+            prompt_input_ids=jnp.asarray(ids),
             class_input_ids=jnp.asarray(class_ids),
+            prompt_attention_mask=jnp.asarray(mask),
             pixel_values=pixel,
-            prompt_video_input_mask=jnp.asarray(built["video_input_mask"])[None],
+            prompt_video_input_mask=jnp.asarray(vim),
             class_attention_mask=jnp.asarray(class_mask),
             class_batch_size=self.class_batch_size,
         )
-        return int(np.asarray(ll)[0].argmax())
+        return [int(i) for i in np.asarray(ll).argmax(axis=-1)]
 
     # -- evaluation loop ------------------------------------------------
 
-    def evaluate(self, eval_dataset, train_dataset, *, progress: bool = False) -> IclEvalResult:
+    def evaluate(
+        self,
+        eval_dataset,
+        train_dataset,
+        *,
+        progress: bool = False,
+        batch_size: int = 1,
+    ) -> IclEvalResult:
         from .metrics import MulticlassF1
 
         verb_list = list(self.verb_prompts.keys())
@@ -198,55 +231,64 @@ class IclEvaluator:
         noun_f1 = MulticlassF1(len(self.nouns))
         result = IclEvalResult(0.0, 0.0)
 
-        indices = range(len(eval_dataset))
+        starts = range(0, len(eval_dataset), batch_size)
         if progress:
             try:
                 from tqdm import tqdm
 
-                indices = tqdm(indices, desc="Evaluating")
+                starts = tqdm(starts, desc="Evaluating")
             except ImportError:
                 pass
 
-        for i in indices:
-            datapoint = eval_dataset[i]
+        for s in starts:
+            idx = list(range(s, min(s + batch_size, len(eval_dataset))))
+            datapoints = [eval_dataset[i] for i in idx]
             # infinite random sampling with replacement (icl_eval.py:206-224)
-            few_shot = [
-                train_dataset[self.rng.randrange(len(train_dataset))]
-                for _ in range(self.num_shot)
+            few_shots = [
+                [train_dataset[self.rng.randrange(len(train_dataset))] for _ in range(self.num_shot)]
+                for _ in idx
             ]
             # stage 1: verb
-            pv_idx = self._classify(
-                self.few_shot_prompt + " The camera wearer", datapoint, few_shot, verb_list
+            pv_idx = self._classify_batch(
+                [self.few_shot_prompt + " The camera wearer"] * len(idx),
+                datapoints,
+                few_shots,
+                verb_list,
             )
-            pred_verb_prompt = verb_list[pv_idx]
-            pred_verb = self.verb_prompts[pred_verb_prompt]
-            verb_f1([verb_id[pred_verb]], [verb_id[datapoint["structured_verb"]]])
-            result.verb_predictions.append(
-                {
-                    "frame_path": datapoint["frame_path"],
-                    "structured_verb": datapoint["structured_verb"],
-                    "predicted_verb_prompt": pred_verb_prompt,
-                    "prediction": pred_verb,
-                }
-            )
-            # stage 2: noun, conditioned on the predicted verb prompt
-            pn_idx = self._classify(
-                self.few_shot_prompt + f" The camera wearer {pred_verb_prompt}",
-                datapoint,
-                few_shot,
+            pred_verb_prompts = [verb_list[i] for i in pv_idx]
+            for dp, pvp in zip(datapoints, pred_verb_prompts):
+                pred_verb = self.verb_prompts[pvp]
+                verb_f1([verb_id[pred_verb]], [verb_id[dp["structured_verb"]]])
+                result.verb_predictions.append(
+                    {
+                        "frame_path": dp["frame_path"],
+                        "structured_verb": dp["structured_verb"],
+                        "predicted_verb_prompt": pvp,
+                        "prediction": pred_verb,
+                    }
+                )
+            # stage 2: noun, conditioned on each datapoint's predicted verb prompt
+            pn_idx = self._classify_batch(
+                [
+                    self.few_shot_prompt + f" The camera wearer {pvp}"
+                    for pvp in pred_verb_prompts
+                ],
+                datapoints,
+                few_shots,
                 noun_list,
             )
-            pred_noun_prompt = noun_list[pn_idx]
-            pred_noun = self.noun_prompts[pred_noun_prompt]
-            noun_f1([noun_id[pred_noun]], [noun_id[datapoint["structured_noun"]]])
-            result.noun_predictions.append(
-                {
-                    "frame_path": datapoint["frame_path"],
-                    "structured_noun": datapoint["structured_noun"],
-                    "predicted_noun_prompt": pred_noun_prompt,
-                    "prediction": pred_noun,
-                }
-            )
+            for dp, ni in zip(datapoints, pn_idx):
+                pred_noun_prompt = noun_list[ni]
+                pred_noun = self.noun_prompts[pred_noun_prompt]
+                noun_f1([noun_id[pred_noun]], [noun_id[dp["structured_noun"]]])
+                result.noun_predictions.append(
+                    {
+                        "frame_path": dp["frame_path"],
+                        "structured_noun": dp["structured_noun"],
+                        "predicted_noun_prompt": pred_noun_prompt,
+                        "prediction": pred_noun,
+                    }
+                )
 
         result.verb_f1 = verb_f1.compute()
         result.noun_f1 = noun_f1.compute()

@@ -157,18 +157,20 @@ class OPTDecoderLayer(nn.Module):
         )
         self.fc1 = nn.Dense(cfg.ffn_dim, dtype=self.dtype, name="fc1")
         self.fc2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")
+        self.dropout_layer = nn.Dropout(cfg.dropout)
 
     def _act(self, x: jax.Array) -> jax.Array:
         if self.config.activation_function == "relu":
             return nn.relu(x)
         return nn.gelu(x, approximate=False)
 
-    def _mlp(self, x: jax.Array) -> jax.Array:
+    def _mlp(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         residual = x
         if cfg.do_layer_norm_before:
             x = self.final_layer_norm(x)
         x = self.fc2(self._act(self.fc1(x)))
+        x = self.dropout_layer(x, deterministic=deterministic)
         x = residual + x
         if not cfg.do_layer_norm_before:
             x = self.final_layer_norm(x)
@@ -180,6 +182,7 @@ class OPTDecoderLayer(nn.Module):
         attn: dict,
         cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
         cache_index: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
         cfg = self.config
         residual = hidden_states
@@ -187,10 +190,11 @@ class OPTDecoderLayer(nn.Module):
         if cfg.do_layer_norm_before:
             x = self.self_attn_layer_norm(x)
         x, new_kv = self.self_attn(x, attn, cache_kv=cache_kv, cache_index=cache_index)
+        x = self.dropout_layer(x, deterministic=deterministic)
         x = residual + x
         if not cfg.do_layer_norm_before:
             x = self.self_attn_layer_norm(x)
-        return self._mlp(x), new_kv
+        return self._mlp(x, deterministic=deterministic), new_kv
 
     def shared_prefix(
         self,
@@ -252,6 +256,7 @@ class OPTForCausalLM(nn.Module):
             OPTDecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
             for i in range(cfg.num_hidden_layers)
         ]
+        self.embed_dropout = nn.Dropout(cfg.dropout)
         if cfg.do_layer_norm_before:
             self.final_norm = nn.LayerNorm(use_fast_variance=False, 
                 epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_norm"
@@ -279,6 +284,7 @@ class OPTForCausalLM(nn.Module):
         attention_mask: Optional[jax.Array] = None,
         position_ids: Optional[jax.Array] = None,
         cache: Optional[Cache] = None,
+        deterministic: bool = True,
     ) -> tuple[jax.Array, Optional[Cache]]:
         """inputs_embeds: (B, S, word_embed_proj_dim).
 
@@ -322,10 +328,14 @@ class OPTForCausalLM(nn.Module):
         if self.project_in is not None:
             x = self.project_in(x)
         x = x + pos_embeds
+        x = self.embed_dropout(x, deterministic=deterministic)
 
         new_ks, new_vs = [], []
         for i, layer in enumerate(self.layers):
-            x, new_kv = layer(x, attn, cache_kv=kv_slices[i], cache_index=cache_index)
+            x, new_kv = layer(
+                x, attn, cache_kv=kv_slices[i], cache_index=cache_index,
+                deterministic=deterministic,
+            )
             if new_kv is not None:
                 new_ks.append(new_kv[0])
                 new_vs.append(new_kv[1])

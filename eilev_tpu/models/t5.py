@@ -157,6 +157,7 @@ class T5FF(nn.Module):
         else:
             self.wi = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name="wi")
         self.wo = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="wo")
+        self.dropout = nn.Dropout(cfg.dropout_rate)
 
     def _act(self, x: jax.Array) -> jax.Array:
         if self.config.dense_act_fn == "gelu_new":
@@ -165,13 +166,15 @@ class T5FF(nn.Module):
             return nn.relu(x)
         return nn.gelu(x, approximate=False)
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         h = self.layer_norm(x)
         if self.config.is_gated_act:
             h = self._act(self.wi_0(h)) * self.wi_1(h)
         else:
             h = self._act(self.wi(h))
-        return x + self.wo(h)
+        # HF T5LayerFF: inner dropout after the activation + residual dropout
+        h = self.dropout(h, deterministic=deterministic)
+        return x + self.dropout(self.wo(h), deterministic=deterministic)
 
 
 class T5SelfAttentionLayer(nn.Module):
@@ -189,11 +192,12 @@ class T5SelfAttentionLayer(nn.Module):
             dtype=self.dtype,
             name="attention",
         )
+        self.dropout = nn.Dropout(self.config.dropout_rate)
 
-    def __call__(self, x, attn=None, cache_kv=None, cache_index=None):
+    def __call__(self, x, attn=None, cache_kv=None, cache_index=None, deterministic=True):
         h = self.layer_norm(x)
         out, new_kv = self.attention(h, attn=attn, cache_kv=cache_kv, cache_index=cache_index)
-        return x + out, new_kv
+        return x + self.dropout(out, deterministic=deterministic), new_kv
 
 
 class T5CrossAttentionLayer(nn.Module):
@@ -203,10 +207,12 @@ class T5CrossAttentionLayer(nn.Module):
     def setup(self) -> None:
         self.layer_norm = T5LayerNorm(self.config, dtype=self.dtype, name="layer_norm")
         self.attention = T5Attention(self.config, bidirectional=True, dtype=self.dtype, name="attention")
+        self.dropout = nn.Dropout(self.config.dropout_rate)
 
-    def __call__(self, x, k, v, padding_mask=None):
+    def __call__(self, x, k, v, padding_mask=None, deterministic=True):
         h = self.layer_norm(x)
-        return x + self.attention.cross_attend(h, k, v, padding_mask)
+        out = self.attention.cross_attend(h, k, v, padding_mask)
+        return x + self.dropout(out, deterministic=deterministic)
 
     def kv(self, encoder_hidden):
         return self.attention.cross_kv(encoder_hidden)
@@ -227,9 +233,9 @@ class T5EncoderLayer(nn.Module):
         )
         self.ff = T5FF(self.config, dtype=self.dtype, name="ff")
 
-    def __call__(self, x, attn):
-        x, _ = self.self_attention(x, attn=attn)
-        return self.ff(x)
+    def __call__(self, x, attn, deterministic=True):
+        x, _ = self.self_attention(x, attn=attn, deterministic=deterministic)
+        return self.ff(x, deterministic=deterministic)
 
 
 class T5DecoderLayer(nn.Module):
@@ -248,10 +254,16 @@ class T5DecoderLayer(nn.Module):
         self.cross_attention = T5CrossAttentionLayer(self.config, dtype=self.dtype, name="cross_attention")
         self.ff = T5FF(self.config, dtype=self.dtype, name="ff")
 
-    def __call__(self, x, self_attn, cross_k, cross_v, cross_padding_mask, cache_kv=None, cache_index=None):
-        x, new_kv = self.self_attention(x, attn=self_attn, cache_kv=cache_kv, cache_index=cache_index)
-        x = self.cross_attention(x, cross_k, cross_v, padding_mask=cross_padding_mask)
-        return self.ff(x), new_kv
+    def __call__(self, x, self_attn, cross_k, cross_v, cross_padding_mask,
+                 cache_kv=None, cache_index=None, deterministic=True):
+        x, new_kv = self.self_attention(
+            x, attn=self_attn, cache_kv=cache_kv, cache_index=cache_index,
+            deterministic=deterministic,
+        )
+        x = self.cross_attention(
+            x, cross_k, cross_v, padding_mask=cross_padding_mask, deterministic=deterministic
+        )
+        return self.ff(x, deterministic=deterministic), new_kv
 
 
 class T5Encoder(nn.Module):
@@ -267,15 +279,19 @@ class T5Encoder(nn.Module):
             for i in range(cfg.num_layers)
         ]
         self.final_layer_norm = T5LayerNorm(cfg, dtype=self.dtype, name="final_layer_norm")
+        self.dropout = nn.Dropout(cfg.dropout_rate)
 
-    def __call__(self, inputs_embeds: jax.Array, attention_mask: Optional[jax.Array]) -> jax.Array:
+    def __call__(
+        self, inputs_embeds: jax.Array, attention_mask: Optional[jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
         s = inputs_embeds.shape[1]
         rel_bias = self.layers[0].self_attention.attention.compute_bias(s, s)[0]  # (H, S, S)
         attn = {"bias": rel_bias, "padding_mask": attention_mask}
-        x = inputs_embeds
+        x = self.dropout(inputs_embeds, deterministic=deterministic)
         for layer in self.layers:
-            x = layer(x, attn)
-        return self.final_layer_norm(x)
+            x = layer(x, attn, deterministic=deterministic)
+        return self.dropout(self.final_layer_norm(x), deterministic=deterministic)
 
 
 class T5Decoder(nn.Module):
@@ -291,6 +307,7 @@ class T5Decoder(nn.Module):
             for i in range(cfg.num_decoder_layers)
         ]
         self.final_layer_norm = T5LayerNorm(cfg, dtype=self.dtype, name="final_layer_norm")
+        self.dropout = nn.Dropout(cfg.dropout_rate)
 
     def __call__(
         self,
@@ -299,6 +316,7 @@ class T5Decoder(nn.Module):
         encoder_attention_mask: Optional[jax.Array],
         decoder_attention_mask: Optional[jax.Array] = None,
         cache: Optional[Cache] = None,
+        deterministic: bool = True,
     ) -> tuple[jax.Array, Optional[Cache]]:
         b, s, _ = inputs_embeds.shape
         rel = self.layers[0].self_attention.attention
@@ -331,18 +349,19 @@ class T5Decoder(nn.Module):
             new_cache = dict(cache)
             new_cache["index"] = index + s
 
-        x = inputs_embeds
+        x = self.dropout(inputs_embeds, deterministic=deterministic)
         new_ks, new_vs = [], []
         for i, layer in enumerate(self.layers):
             ck, cv = cross[i]
             x, new_kv = layer(
                 x, self_attn, ck, cv, encoder_attention_mask,
                 cache_kv=kv_slices[i], cache_index=cache_index,
+                deterministic=deterministic,
             )
             if new_kv is not None:
                 new_ks.append(new_kv[0])
                 new_vs.append(new_kv[1])
-        x = self.final_layer_norm(x)
+        x = self.dropout(self.final_layer_norm(x), deterministic=deterministic)
         if new_cache is not None:
             new_cache["k"] = jnp.stack(new_ks)
             new_cache["v"] = jnp.stack(new_vs)
@@ -389,11 +408,15 @@ class T5ForConditionalGeneration(nn.Module):
         encoder_attention_mask: Optional[jax.Array] = None,
         decoder_input_ids: Optional[jax.Array] = None,
         decoder_attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> jax.Array:
-        encoder_hidden = self.encoder(encoder_inputs_embeds, encoder_attention_mask)
+        encoder_hidden = self.encoder(
+            encoder_inputs_embeds, encoder_attention_mask, deterministic=deterministic
+        )
         dec_embeds = self.shared(decoder_input_ids)
         hidden, _ = self.decoder(
-            dec_embeds, encoder_hidden, encoder_attention_mask, decoder_attention_mask
+            dec_embeds, encoder_hidden, encoder_attention_mask, decoder_attention_mask,
+            deterministic=deterministic,
         )
         return self._head(hidden)
 

@@ -132,7 +132,9 @@ class VideoBlipForConditionalGeneration(nn.Module):
 
         out: dict[str, jax.Array] = {}
         if isinstance(cfg.text_config, OPTConfig):
-            logits, _ = self.language_model(inputs_embeds, attention_mask=attention_mask)
+            logits, _ = self.language_model(
+                inputs_embeds, attention_mask=attention_mask, deterministic=deterministic
+            )
             out["logits"] = logits
             if labels is not None:
                 # HF causal-LM loss: shift by one, ignore -100.
@@ -149,6 +151,7 @@ class VideoBlipForConditionalGeneration(nn.Module):
                 encoder_attention_mask=attention_mask,
                 decoder_input_ids=decoder_input_ids,
                 decoder_attention_mask=decoder_attention_mask,
+                deterministic=deterministic,
             )
             out["logits"] = logits
             if labels is not None:

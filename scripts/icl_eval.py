@@ -45,6 +45,8 @@ def parse_args():
     p.add_argument("--num_eval_datapoints", default=0, type=int)
     p.add_argument("--random-seed", type=int, default=42)
     p.add_argument("--class_batch_size", type=int, default=None)
+    p.add_argument("--eval_batch_size", type=int, default=4,
+                   help="datapoints classified per device program (TPU batching)")
     p.add_argument("--log_verb_preds", action="store_true")
     p.add_argument("--log_noun_preds", action="store_true")
     p.add_argument("--wandb_project", default=None)
@@ -98,7 +100,9 @@ def main() -> None:
         rng=random.Random(args.random_seed),
         dtype=dtype,
     )
-    result = evaluator.evaluate(eval_dataset, train_dataset, progress=True)
+    result = evaluator.evaluate(
+        eval_dataset, train_dataset, progress=True, batch_size=args.eval_batch_size
+    )
 
     print(f"Verb F1: {result.verb_f1}")
     print(f"Noun F1: {result.noun_f1}")
