@@ -71,7 +71,8 @@ def main() -> None:
             row["noun"] = row["structured_noun"].split("_", 1)[0]
             rows.append(row)
 
-    fields = [k for k in rows[0] if k not in {"verb", "noun"}]
+    # narration_text is replaced when present, appended otherwise
+    fields = list(dict.fromkeys([k for k in rows[0] if k not in {"verb", "noun"}] + ["narration_text"]))
     with open(args.annotation_with_std_sent, "w", newline="") as f:
         writer = csv.DictWriter(f, fields)
         writer.writeheader()
