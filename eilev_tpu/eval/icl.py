@@ -23,7 +23,7 @@ import json
 import random as _random
 from collections import defaultdict
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

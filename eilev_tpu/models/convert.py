@@ -11,7 +11,7 @@ patch conv (D, 3, p, p) is reshaped to the unfold-matmul layout (3*p*p, D).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping
+from typing import Any, Mapping
 
 import numpy as np
 

@@ -112,7 +112,7 @@ def main() -> None:
         loaded["classifier"] = params["classifier"]
         params = loaded
 
-    mean = getattr(pp, "CLIP_MEAN")  # VideoMAE uses ImageNet stats; close enough knob:
+    # VideoMAE uses ImageNet normalization stats
     imagenet_mean, imagenet_std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
 
     def train_item(key, video_u8):
