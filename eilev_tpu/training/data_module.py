@@ -190,5 +190,15 @@ def train_batch_iterator(
         }
         if "video_input_mask" in batch:
             vim = fix_length(batch["video_input_mask"], 0)
+            # the device-side scatter places exactly (num_videos * num_query
+            # tokens) features at mask positions and clips silently; a truncated
+            # video slot would corrupt training, so fail loudly here instead
+            expected = pixels.shape[0] * num_query_tokens
+            if int(vim.sum()) != expected:
+                raise ValueError(
+                    f"max_length={max_length} truncates video token positions "
+                    f"({int(vim.sum())} mask slots for {expected} video features); "
+                    "raise --max_length"
+                )
             out["video_input_mask"] = vim.reshape(accum_steps, micro_batch_size, max_length)
         yield out
