@@ -177,3 +177,35 @@ def test_plot_results(tmp_path):
         ]
     )
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_epic_kitchens_extract_frames_cli(tmp_path):
+    from tests.data.test_native_decoder import _write_y4m
+
+    ek55 = tmp_path / "ek55"
+    ek100 = tmp_path / "ek100"
+    d = ek55 / "videos/train/P01"
+    d.mkdir(parents=True)
+    _write_y4m(str(d / "P01_01.MP4"), nframes=120, w=32, h=16, fps=10)
+    ann = tmp_path / "ann.csv"
+    with open(ann, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["video_id", "narration", "full_sent_narration", "verb", "noun",
+                    "narration_timestamp", "start_timestamp", "stop_timestamp"])
+        w.writerow(["P01_01", "open door", "The camera wearer opens the door.", "open",
+                    "door", "00:00:05.00", "00:00:04.00", "00:00:06.00"])
+    frames = tmp_path / "frames"
+    _run([
+        "scripts/epic_kitchens/epic_kitchens_extract_frames.py",
+        "--annotation_path", str(ann),
+        "--epic_kitchens_55_video_dir_path", str(ek55),
+        "--epic_kitchens_100_video_dir_path", str(ek100),
+        "--frames_dir", str(frames),
+        "--num_subsample_frames", "4",
+        "--target_size", "16",
+    ])
+    rows = list(csv.DictReader(open(frames / "narrated_actions.csv")))
+    assert len(rows) == 1
+    assert rows[0]["narration_text"] == "The camera wearer opens the door."
+    assert rows[0]["structured_verb"] == "open"
+    assert len(list((frames / rows[0]["frame_path"]).glob("*.png"))) == 4
