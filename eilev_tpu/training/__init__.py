@@ -6,6 +6,7 @@ from .train_state import (
     make_train_step,
     merge_params,
     partition_params,
+    zero_sharded_opt_state,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "make_train_step",
     "merge_params",
     "partition_params",
+    "zero_sharded_opt_state",
 ]

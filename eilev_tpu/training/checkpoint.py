@@ -27,19 +27,30 @@ from ..configs import OPTConfig, T5Config, VideoBlipConfig
 from .train_state import TrainState
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, *, keep: int = 3) -> str:
+def save_checkpoint(
+    ckpt_dir: str, state: TrainState, *, keep: int = 3, best: Optional[tuple] = None
+) -> str:
     """Save {step, trainable, opt_state} under ckpt_dir/<step>; prune to ``keep``
-    newest (reference recipe: save_total_limit 3)."""
+    newest (reference recipe: save_total_limit 3).
+
+    ``best`` = (best_eval_loss, best_trainable) persists the
+    load_best_model_at_end snapshot so it survives preemption (HF Trainer keeps
+    the equivalent in its checkpoint dirs, reference train_v2.py:205)."""
     import orbax.checkpoint as ocp
 
     step = int(state.step)
     path = os.path.join(os.path.abspath(ckpt_dir), str(step))
+    payload = {
+        "step": np.asarray(step, np.int32),
+        "trainable": state.trainable,
+        "opt_state": state.opt_state,
+    }
+    if best is not None:
+        best_loss, best_trainable = best
+        payload["best_loss"] = np.asarray(best_loss, np.float32)
+        payload["best_trainable"] = best_trainable
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(
-        path,
-        {"step": np.asarray(step, np.int32), "trainable": state.trainable, "opt_state": state.opt_state},
-        force=True,
-    )
+    ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     _prune(ckpt_dir, keep)
     return path
@@ -54,8 +65,12 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(os.path.abspath(ckpt_dir), str(max(steps)))
 
 
-def restore_checkpoint(path: str, state: TrainState) -> TrainState:
-    """Restore into the (shape/sharding) structure of ``state``."""
+def restore_checkpoint(path: str, state: TrainState, *, with_best: bool = False):
+    """Restore into the (shape/sharding) structure of ``state``.
+
+    With ``with_best`` returns ``(state, best)`` where best is
+    (best_eval_loss, best_trainable) if the checkpoint carries one, else None
+    (older checkpoints predate the field)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -64,12 +79,32 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         "trainable": state.trainable,
         "opt_state": state.opt_state,
     }
+    has_best = os.path.isdir(os.path.join(path, "best_trainable")) or os.path.exists(
+        os.path.join(path, "_METADATA")
+    ) and _metadata_has_best(path)
+    if with_best and has_best:
+        target["best_loss"] = np.asarray(0.0, np.float32)
+        target["best_trainable"] = jax.tree.map(lambda x: x, state.trainable)
     restored = ckptr.restore(path, target)
-    return state.replace(
+    new_state = state.replace(
         step=jax.numpy.asarray(restored["step"]),
         trainable=restored["trainable"],
         opt_state=restored["opt_state"],
     )
+    if not with_best:
+        return new_state
+    best = None
+    if "best_trainable" in restored:
+        best = (float(restored["best_loss"]), restored["best_trainable"])
+    return new_state, best
+
+
+def _metadata_has_best(path: str) -> bool:
+    try:
+        with open(os.path.join(path, "_METADATA")) as f:
+            return '"best_trainable"' in f.read()
+    except OSError:
+        return False
 
 
 def _prune(ckpt_dir: str, keep: int) -> None:

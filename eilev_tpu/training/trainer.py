@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel import make_mesh
+from ..parallel import make_mesh, param_shardings
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .train_state import (
     OptimizerConfig,
@@ -34,6 +34,7 @@ from .train_state import (
     make_train_step,
     merge_params,
     partition_params,
+    zero_sharded_opt_state,
 )
 
 
@@ -43,7 +44,7 @@ class TrainerConfig:
     (slurm-scripts/train/submit_train_v2.py:22-37)."""
 
     output_dir: str = "checkpoints"
-    num_train_steps: int = 1000
+    num_train_steps: Optional[int] = 1000  # None = train until the data iterator ends
     per_device_batch_size: int = 1
     gradient_accumulation_steps: int = 16
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
@@ -56,6 +57,9 @@ class TrainerConfig:
     seed: int = 42
     resume_from_checkpoint: bool = False
     prefetch: int = 2
+    # ZeRO-2 equivalent: shard the optimizer moments over the "data" axis
+    # (reference's optional DeepSpeed ZeRO-2, submit_train_v2.py:38-65)
+    zero_shard_opt_state: bool = False
 
 
 class _Prefetcher:
@@ -99,13 +103,23 @@ def _is_committed(x) -> bool:
 
 def shard_train_batch(batch: Any, mesh) -> Any:
     """Shard the MICRO-BATCH axis (axis 1; axis 0 is grad accumulation) over
-    'data' when divisible; otherwise replicate (small-batch tests, single chip)."""
+    'data'. A micro axis that doesn't divide the data axis is a configuration
+    error (it would silently replicate and waste an N-x of throughput), so it
+    raises instead."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape["data"]
 
     def put(x):
-        if x.ndim >= 2 and x.shape[1] % n == 0:
+        if x.ndim >= 2:
+            if x.shape[1] % n != 0:
+                raise ValueError(
+                    f"micro-batch axis {x.shape[1]} does not divide the mesh "
+                    f"data axis {n}; pick per_device_batch_size so that "
+                    "micro_batch * videos_per_sample is a multiple of the data "
+                    "axis (silent replication would cost the full data-parallel "
+                    "speedup)"
+                )
             return jax.device_put(x, NamedSharding(mesh, P(None, "data")))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
@@ -137,26 +151,51 @@ class Trainer:
         self.eval_batches = eval_batches
 
         trainable, frozen = partition_params(params)
-        # place params on the mesh (replicated; TP layouts can be passed via a
-        # pre-sharded `params` argument, device_put is a no-op then)
+        # place params on the mesh. With a model axis > 1 the tensor-parallel
+        # layout from parallel.mesh.param_shardings applies (the --model_parallel
+        # CLI path); otherwise everything replicates (pure DP, reference parity).
+        # Pre-sharded `params` are respected as-is.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        rep = NamedSharding(self.mesh, P())
-        trainable = jax.tree.map(lambda x: jax.device_put(x, rep) if not _is_committed(x) else x, trainable)
-        frozen = jax.tree.map(lambda x: jax.device_put(x, rep) if not _is_committed(x) else x, frozen)
+        tp = self.mesh.shape.get("model", 1) > 1
+        train_sh = param_shardings(trainable, self.mesh, tensor_parallel=tp)
+        froz_sh = param_shardings(frozen, self.mesh, tensor_parallel=tp)
+        trainable = jax.tree.map(
+            lambda x, s: jax.device_put(x, s) if not _is_committed(x) else x,
+            trainable, train_sh,
+        )
+        frozen = jax.tree.map(
+            lambda x, s: jax.device_put(x, s) if not _is_committed(x) else x,
+            frozen, froz_sh,
+        )
         self.frozen = frozen
         tx = make_optimizer(config.optimizer)
         state = TrainState.create(trainable, tx)
-        # step + freshly-initialized opt state need mesh placement too
-        self.state = jax.tree.map(
-            lambda x: jax.device_put(x, rep) if not _is_committed(x) else x, state
+        rep = NamedSharding(self.mesh, P())
+        # ZeRO-2 equivalent: the optimizer moments (same shapes as the params)
+        # shard over "data"; everything else follows the param layout.
+        if config.zero_shard_opt_state:
+            opt_sh = zero_sharded_opt_state(state, self.mesh)
+        else:
+            opt_sh = jax.tree.map(lambda _: rep, state.opt_state)
+        state_sh = state.replace(
+            step=rep,
+            trainable=jax.tree.map(lambda x: x.sharding, trainable),
+            opt_state=opt_sh,
         )
+        self.state = jax.tree.map(jax.device_put, state, state_sh)
+        # pin the output state to the same layout so the ZeRO/TP sharding
+        # survives every step (GSPMD would otherwise be free to re-layout)
         self._step_fn = jax.jit(
             make_train_step(
                 model,
                 accum_steps=config.gradient_accumulation_steps,
                 dropout=config.dropout,
-            )
+            ),
+            # NOTE: no donation — device_put of a replicated layout can alias
+            # the caller's buffers (observed on the CPU backend), and the
+            # trainable subtree is small (towers are frozen).
+            out_shardings=(state_sh, {"loss": rep, "grad_norm": rep}),
         )
         self._eval_fn = jax.jit(lambda p, b: eval_step(model, p, b))
         self.best_eval_loss = float("inf")
@@ -165,7 +204,9 @@ class Trainer:
         if config.resume_from_checkpoint:
             path = latest_checkpoint(config.output_dir)
             if path is not None:
-                self.state = restore_checkpoint(path, self.state)
+                self.state, best = restore_checkpoint(path, self.state, with_best=True)
+                if best is not None:
+                    self.best_eval_loss, self.best_trainable = best
 
     def current_params(self) -> dict:
         return merge_params(self.state.trainable, self.frozen)
@@ -202,7 +243,7 @@ class Trainer:
         t_last = time.perf_counter()
         videos_since = 0
         for batch in it:
-            if int(self.state.step) >= cfg.num_train_steps:
+            if cfg.num_train_steps is not None and int(self.state.step) >= cfg.num_train_steps:
                 break
             self.state, metrics = self._step_fn(self.state, self.frozen, batch)
             step = int(self.state.step)
@@ -234,9 +275,23 @@ class Trainer:
                     self.best_trainable = jax.tree.map(lambda x: x, self.state.trainable)
 
             if cfg.save_steps and step % cfg.save_steps == 0:
-                save_checkpoint(cfg.output_dir, self.state, keep=cfg.save_total_limit)
+                save_checkpoint(
+                    cfg.output_dir, self.state, keep=cfg.save_total_limit,
+                    best=self._best_payload(),
+                )
 
         if cfg.load_best_model_at_end and self.best_trainable is not None:
             self.state = self.state.replace(trainable=self.best_trainable)
-        save_checkpoint(cfg.output_dir, self.state, keep=cfg.save_total_limit)
+        save_checkpoint(
+            cfg.output_dir, self.state, keep=cfg.save_total_limit,
+            best=self._best_payload(),
+        )
         return self.state
+
+    def _best_payload(self):
+        """Best-eval snapshot persisted alongside the state so
+        load_best_model_at_end survives preemption (the reference gets this via
+        HF Trainer checkpoints)."""
+        if self.best_trainable is None:
+            return None
+        return (self.best_eval_loss, self.best_trainable)

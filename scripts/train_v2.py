@@ -54,7 +54,12 @@ def parse_args():
     p.add_argument("--max_length", type=int, default=1024, help="static token bucket")
     # training (reference TrainingArguments subset)
     p.add_argument("--output_dir", required=True)
-    p.add_argument("--num_train_steps", type=int, default=5000)
+    p.add_argument("--num_train_steps", type=int, default=None,
+                   help="step cap; default derives from --num_train_epochs")
+    p.add_argument("--num_train_epochs", type=int, default=5,
+                   help="reference recipe trains 5 epochs (README.md:152-155)")
+    p.add_argument("--zero_shard_opt_state", action="store_true",
+                   help="ZeRO-2-equivalent: shard optimizer moments over the data axis")
     p.add_argument("--per_device_train_batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=16)
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -113,6 +118,15 @@ def main() -> None:
 
     decoder_only = config.use_decoder_only_language_model
 
+    # epoch accounting (reference: 5 epochs at global batch 128)
+    global_batch = micro * args.gradient_accumulation_steps
+    steps_per_epoch = max(len(train_data) // global_batch, 1)
+    total_steps = (
+        args.num_train_steps
+        if args.num_train_steps is not None
+        else steps_per_epoch * args.num_train_epochs
+    )
+
     def train_batches(seed):
         return train_batch_iterator(
             train_data,
@@ -126,6 +140,7 @@ def main() -> None:
             image_size=config.vision_config.image_size,
             augment=True,
             seed=seed,
+            epochs=args.num_train_epochs if args.num_train_steps is None else None,
             dtype=dtype,
         )
 
@@ -153,13 +168,14 @@ def main() -> None:
         variables["params"],
         TrainerConfig(
             output_dir=args.output_dir,
-            num_train_steps=args.num_train_steps,
+            num_train_steps=total_steps,
             per_device_batch_size=args.per_device_train_batch_size,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
+            zero_shard_opt_state=args.zero_shard_opt_state,
             optimizer=OptimizerConfig(
                 learning_rate=args.learning_rate,
                 warmup_steps=args.warmup_steps,
-                total_steps=args.num_train_steps,
+                total_steps=total_steps,
                 weight_decay=args.weight_decay,
             ),
             eval_steps=args.eval_steps,

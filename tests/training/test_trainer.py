@@ -7,6 +7,7 @@ import numpy as np
 from eilev_tpu import configs
 from eilev_tpu.models import VideoBlipForConditionalGeneration
 from eilev_tpu.training import OptimizerConfig
+from eilev_tpu.parallel import make_mesh
 from eilev_tpu.training.checkpoint import latest_checkpoint
 from eilev_tpu.training.trainer import Trainer, TrainerConfig
 
@@ -71,6 +72,7 @@ def test_trainer_end_to_end(tmp_path):
                 }
             ]
         ),
+        mesh=make_mesh(data=1),  # micro batch of 1: a >1 data axis would be an error
         logger=lambda step, m: logs.append((step, m)),
     )
     state = trainer.train()
@@ -95,6 +97,7 @@ def test_trainer_end_to_end(tmp_path):
             resume_from_checkpoint=True,
         ),
         train_batches=_make_batches(cfg, 2, 1, steps=100, seed=0),
+        mesh=make_mesh(data=1),
     )
     assert int(trainer2.state.step) == 6
     state2 = trainer2.train()
