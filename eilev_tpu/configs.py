@@ -95,6 +95,39 @@ class OPTConfig:
 
 
 @dataclass(frozen=True)
+class LlamaConfig:
+    """LLaMA-family decoder-only LM (RoPE + RMSNorm + SwiGLU).
+
+    Parity target: ``transformers.LlamaForCausalLM``. Role: the reference's
+    sentence-ification utilities run Llama-2-chat
+    (/root/reference/scripts/ego4d/generate_std_sent.py:24-45,
+    scripts/epic-kitchens/transform_to_full_sent.py:16-36, and the two
+    baselines' *_generate_full_sent.py); this config drives the same recipes
+    from local checkpoints through :class:`generation.text_lm.TextLM`.
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32  # < heads = grouped-query attention
+    intermediate_size: int = 11008
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    dropout: float = 0.0
+    # token ids (meta-llama/Llama-2-*)
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass(frozen=True)
 class T5Config:
     """T5 encoder-decoder LM. Parity target: ``transformers.T5ForConditionalGeneration``
     (flan-t5 flavor: gated-gelu FFN, untied LM head)."""
@@ -140,12 +173,14 @@ class VideoBlipConfig:
 
     @property
     def use_decoder_only_language_model(self) -> bool:
-        return isinstance(self.text_config, OPTConfig)
+        return not isinstance(self.text_config, T5Config)
 
     @property
     def text_hidden_size(self) -> int:
         if isinstance(self.text_config, OPTConfig):
             return self.text_config.word_embed_proj_dim
+        if isinstance(self.text_config, LlamaConfig):
+            return self.text_config.hidden_size
         return self.text_config.d_model
 
 

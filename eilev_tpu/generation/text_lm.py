@@ -2,10 +2,10 @@
 compiled decoding loops as VideoBLIP.
 
 Role: the reference shells out to Llama-2-chat for its sentence-ification
-utilities (scripts/ego4d/generate_std_sent.py, scripts/epic-kitchens/
-transform_to_full_sent.py, the baselines' full-sentence generators). This
-framework runs those utilities on any local decoder-only checkpoint it supports
-(OPT-family) via :class:`TextLM`.
+utilities (scripts/ego4d/generate_std_sent.py:24-45, scripts/epic-kitchens/
+transform_to_full_sent.py:16-36, the baselines' full-sentence generators).
+:class:`TextLM` runs those exact recipes from local checkpoints: LLaMA-family
+(the reference's model, via models/llama.py) and OPT-family decoders.
 """
 
 from __future__ import annotations
@@ -18,7 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..configs import OPTConfig, VideoBlipConfig
+from ..configs import LlamaConfig, OPTConfig, VideoBlipConfig
+from ..models.llama import LlamaForCausalLM, convert_llama, llama_config_from_hf
 from ..models.opt import OPTForCausalLM
 from .config import GenerationConfig
 from .decoding import _beam_search_decoder_only, _greedy_sample_decoder_only
@@ -31,7 +32,12 @@ class _TextOnlyModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self) -> None:
-        self.language_model = OPTForCausalLM(
+        lm_cls = (
+            LlamaForCausalLM
+            if isinstance(self.config.text_config, LlamaConfig)
+            else OPTForCausalLM
+        )
+        self.language_model = lm_cls(
             self.config.text_config, dtype=self.dtype, name="language_model"
         )
 
@@ -47,7 +53,9 @@ class _TextOnlyModule(nn.Module):
 
 
 class TextLM:
-    """Load a local HF OPT-family causal LM dir and generate text."""
+    """Load a local HF decoder-only causal LM dir (LLaMA- or OPT-family) and
+    generate text. LLaMA is the reference's model for these workloads
+    (generate_std_sent.py:24-45)."""
 
     def __init__(self, path: str, dtype=jnp.bfloat16):
         from ..models.auto import load_tokenizer
@@ -55,26 +63,29 @@ class TextLM:
 
         with open(os.path.join(path, "config.json")) as f:
             hf = json.load(f)
-        if hf.get("model_type") != "opt":
-            raise ValueError(
-                f"TextLM supports OPT-family decoder-only checkpoints; got "
-                f"{hf.get('model_type')!r}. (The torch reference used Llama-2-chat "
-                "here; point --model at any local OPT-style instruct model.)"
+        model_type = hf.get("model_type")
+        if model_type == "llama":
+            text_cfg: OPTConfig | LlamaConfig = llama_config_from_hf(hf)
+        elif model_type == "opt":
+            text_cfg = OPTConfig(
+                vocab_size=hf["vocab_size"],
+                hidden_size=hf["hidden_size"],
+                num_hidden_layers=hf["num_hidden_layers"],
+                num_attention_heads=hf["num_attention_heads"],
+                ffn_dim=hf["ffn_dim"],
+                max_position_embeddings=hf["max_position_embeddings"],
+                word_embed_proj_dim=hf.get("word_embed_proj_dim", hf["hidden_size"]),
+                do_layer_norm_before=hf.get("do_layer_norm_before", True),
+                activation_function=hf.get("activation_function", "relu"),
+                bos_token_id=hf.get("bos_token_id", 2),
+                eos_token_id=hf.get("eos_token_id", 2),
+                pad_token_id=hf.get("pad_token_id", 1),
             )
-        text_cfg = OPTConfig(
-            vocab_size=hf["vocab_size"],
-            hidden_size=hf["hidden_size"],
-            num_hidden_layers=hf["num_hidden_layers"],
-            num_attention_heads=hf["num_attention_heads"],
-            ffn_dim=hf["ffn_dim"],
-            max_position_embeddings=hf["max_position_embeddings"],
-            word_embed_proj_dim=hf.get("word_embed_proj_dim", hf["hidden_size"]),
-            do_layer_norm_before=hf.get("do_layer_norm_before", True),
-            activation_function=hf.get("activation_function", "relu"),
-            bos_token_id=hf.get("bos_token_id", 2),
-            eos_token_id=hf.get("eos_token_id", 2),
-            pad_token_id=hf.get("pad_token_id", 1),
-        )
+        else:
+            raise ValueError(
+                f"TextLM supports LLaMA- and OPT-family decoder-only checkpoints; "
+                f"got {hf.get('model_type')!r}."
+            )
         self.config = VideoBlipConfig(text_config=text_cfg)
         self.module = _TextOnlyModule(self.config, dtype=dtype)
         self.tokenizer = load_tokenizer(path)
@@ -89,9 +100,8 @@ class TextLM:
             with safe_open(fpath, framework="np") as sf:
                 for k in sf.keys():
                     tensors[k] = sf.get_tensor(k)
-        # plain OPTForCausalLM checkpoints have no language_model. prefix
-        prefixed = {f"language_model.{k}": v for k, v in tensors.items()}
-        params = {"language_model": convert_opt(_SD(prefixed).sub("language_model."), text_cfg)}
+        convert = convert_llama if model_type == "llama" else convert_opt
+        params = {"language_model": convert(_SD(tensors), text_cfg)}
         if dtype is not None:
             params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
         self.variables = {"params": params}

@@ -1,0 +1,336 @@
+"""LLaMA-family decoder-only LM (flax.linen) with the framework's TPU KV cache.
+
+Parity target: ``transformers.LlamaForCausalLM`` — the model the reference's
+sentence-ification workloads run as Llama-2-chat
+(/root/reference/scripts/ego4d/generate_std_sent.py:24-45,
+/root/reference/scripts/epic-kitchens/transform_to_full_sent.py:16-36,
+/root/reference/scripts/baselines/videomae/videomae_generate_full_sent.py:47-62,
+/root/reference/scripts/baselines/majority/majority_generate_full_sent.py).
+
+Numerical quirks preserved from HF Llama (eager path):
+  - RMSNorm statistics in float32, weight applied after the cast back;
+  - rotary embeddings computed in float32 (cos/sin of outer(pos, inv_freq));
+  - scores scaled by head_dim**-0.5 AFTER the QK matmul; softmax in float32;
+  - SwiGLU MLP: down(silu(gate(x)) * up(x)); no biases anywhere.
+
+TPU-native design: same fixed-shape stacked-layer KV cache as the OPT decoder
+(models/opt.py:init_cache) updated with ``lax.dynamic_update_slice`` — the
+decoding loops in generation/decoding.py drive OPT and LLaMA identically. Keys
+are cached post-RoPE (absolute positions), so decode steps never re-rotate the
+prefix. Grouped-query attention stores only the kv heads and broadcasts at
+attention time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import LlamaConfig
+from ..ops.attention import dot_product_attention
+
+Cache = dict[str, Any]
+
+
+def llama_position_ids(attention_mask: jax.Array) -> jax.Array:
+    """Mask-derived positions for left-padded batches: real tokens count from 0;
+    padding slots get position 1, matching HF ``prepare_inputs_for_generation``
+    (their keys/queries are fully masked, the value only keeps RoPE angles sane)."""
+    mask = attention_mask.astype(jnp.int32)
+    pos = jnp.cumsum(mask, axis=1) - 1
+    return jnp.where(mask == 0, 1, pos)
+
+
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float
+) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the given positions, float32, shape (..., head_dim)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, H, hd); cos/sin: (B, S, hd). HF rotate_half convention."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[..., None, :].astype(x.dtype)
+    s = sin[..., None, :].astype(x.dtype)
+    return x * c + rotated * s
+
+
+class LlamaRMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        weight = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        return (weight * xf.astype(self.dtype)).astype(self.dtype)
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        hd = cfg.head_dim
+        self.q_proj = nn.Dense(
+            cfg.num_attention_heads * hd, use_bias=False, dtype=self.dtype, name="q_proj"
+        )
+        self.k_proj = nn.Dense(
+            cfg.num_key_value_heads * hd, use_bias=False, dtype=self.dtype, name="k_proj"
+        )
+        self.v_proj = nn.Dense(
+            cfg.num_key_value_heads * hd, use_bias=False, dtype=self.dtype, name="v_proj"
+        )
+        self.o_proj = nn.Dense(
+            cfg.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj"
+        )
+
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        cos: jax.Array,
+        sin: jax.Array,
+        attn: dict,
+        cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
+        cfg = self.config
+        b, s, _ = hidden_states.shape
+        nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        q = self.q_proj(hidden_states).reshape(b, s, nh, hd)
+        k = self.k_proj(hidden_states).reshape(b, s, nkv, hd)
+        v = self.v_proj(hidden_states).reshape(b, s, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_kv = None
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            new_kv = (ck, cv)
+            k, v = ck, cv
+
+        if nkv != nh:  # grouped-query attention: broadcast kv heads
+            rep = nh // nkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            scale=hd**-0.5,
+            scale_query_first=False,  # HF Llama scales the scores
+            softmax_in_fp32=True,
+            **attn,
+        )
+        return self.o_proj(out.reshape(b, s, nh * hd)), new_kv
+
+
+class LlamaMLP(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.gate_proj = nn.Dense(
+            cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj"
+        )
+        self.up_proj = nn.Dense(
+            cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj"
+        )
+        self.down_proj = nn.Dense(
+            cfg.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj"
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.down_proj(nn.silu(self.gate_proj(x)) * self.up_proj(x))
+
+
+class LlamaDecoderLayer(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.self_attn = LlamaAttention(cfg, dtype=self.dtype, name="self_attn")
+        self.mlp = LlamaMLP(cfg, dtype=self.dtype, name="mlp")
+        self.input_layernorm = LlamaRMSNorm(
+            cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm"
+        )
+        self.post_attention_layernorm = LlamaRMSNorm(
+            cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm"
+        )
+
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        cos: jax.Array,
+        sin: jax.Array,
+        attn: dict,
+        cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
+        residual = hidden_states
+        x = self.input_layernorm(hidden_states)
+        x, new_kv = self.self_attn(x, cos, sin, attn, cache_kv=cache_kv, cache_index=cache_index)
+        x = residual + x
+        return x + self.mlp(self.post_attention_layernorm(x)), new_kv
+
+
+class LlamaForCausalLM(nn.Module):
+    """Functional LLaMA with explicit cache input/output — same method surface
+    as :class:`models.opt.OPTForCausalLM` so the compiled decoding loops
+    (generation/decoding.py) drive both interchangeably."""
+
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="embed_tokens"
+        )
+        self.layers = [
+            LlamaDecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.norm = LlamaRMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="norm")
+        if not cfg.tie_word_embeddings:
+            self.lm_head_dense = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head"
+            )
+        else:
+            self.lm_head_dense = None
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        return self.embed_tokens(input_ids)
+
+    def _head(self, x: jax.Array) -> jax.Array:
+        x = self.norm(x)
+        if self.lm_head_dense is not None:
+            return self.lm_head_dense(x)
+        return self.embed_tokens.attend(x)
+
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        position_ids: Optional[jax.Array] = None,
+        cache: Optional[Cache] = None,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, Optional[Cache]]:
+        """Same contract as OPTForCausalLM.__call__ (models/opt.py:281-295)."""
+        del deterministic  # llama has no dropout in inference-serving role
+        cfg = self.config
+        b, s, _ = inputs_embeds.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), jnp.int32)
+        attention_mask = attention_mask.astype(jnp.int32)
+
+        if cache is None:
+            if position_ids is None:
+                position_ids = llama_position_ids(attention_mask)
+            attn = {"causal": True, "padding_mask": attention_mask}
+            cache_index = None
+            kv_slices: list[Optional[tuple[jax.Array, jax.Array]]] = [None] * cfg.num_hidden_layers
+            new_cache = None
+        else:
+            index = cache["index"]
+            full_mask = jax.lax.dynamic_update_slice(cache["mask"], attention_mask, (0, index))
+            new_counts = jnp.cumsum(attention_mask, axis=1)
+            if position_ids is None:
+                pos = cache["pos"][:, None] + new_counts - 1
+                position_ids = jnp.where(attention_mask == 0, 1, pos)
+            new_pos = cache["pos"] + new_counts[:, -1]
+            # see models/opt.py:316-321 for why causal is static here
+            attn = {"causal": s > 1, "padding_mask": full_mask}
+            cache_index = index
+            kv_slices = [(cache["k"][i], cache["v"][i]) for i in range(cfg.num_hidden_layers)]
+            new_cache = {"index": index + s, "mask": full_mask, "pos": new_pos}
+
+        cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+        x = inputs_embeds
+
+        new_ks, new_vs = [], []
+        for i, layer in enumerate(self.layers):
+            x, new_kv = layer(
+                x, cos, sin, attn, cache_kv=kv_slices[i], cache_index=cache_index
+            )
+            if new_kv is not None:
+                new_ks.append(new_kv[0])
+                new_vs.append(new_kv[1])
+
+        logits = self._head(x)
+        if new_cache is not None:
+            new_cache["k"] = jnp.stack(new_ks)
+            new_cache["v"] = jnp.stack(new_vs)
+        return logits, new_cache
+
+
+def convert_llama(sd, config: LlamaConfig) -> dict:
+    """HF ``LlamaForCausalLM`` state dict (via models.convert._SD) -> flax params."""
+    from .convert import _linear
+
+    mdl = sd.sub("model.")
+    params: dict[str, Any] = {
+        "embed_tokens": {"embedding": mdl("embed_tokens.weight")},
+        "norm": {"scale": mdl("norm.weight")},
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = _linear(sd, "lm_head", bias=False)
+    for i in range(config.num_hidden_layers):
+        lsd = mdl.sub(f"layers.{i}.")
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _linear(lsd, "self_attn.q_proj", bias=False),
+                "k_proj": _linear(lsd, "self_attn.k_proj", bias=False),
+                "v_proj": _linear(lsd, "self_attn.v_proj", bias=False),
+                "o_proj": _linear(lsd, "self_attn.o_proj", bias=False),
+            },
+            "mlp": {
+                "gate_proj": _linear(lsd, "mlp.gate_proj", bias=False),
+                "up_proj": _linear(lsd, "mlp.up_proj", bias=False),
+                "down_proj": _linear(lsd, "mlp.down_proj", bias=False),
+            },
+            "input_layernorm": {"scale": lsd("input_layernorm.weight")},
+            "post_attention_layernorm": {"scale": lsd("post_attention_layernorm.weight")},
+        }
+    return params
+
+
+def llama_config_from_hf(hf: dict) -> LlamaConfig:
+    """Build :class:`LlamaConfig` from an HF ``config.json`` dict."""
+    eos = hf.get("eos_token_id", 2)
+    if isinstance(eos, list):  # llama-3 style lists
+        eos = eos[0]
+    return LlamaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        bos_token_id=hf.get("bos_token_id", 1),
+        eos_token_id=eos,
+        pad_token_id=hf.get("pad_token_id") or 0,
+    )

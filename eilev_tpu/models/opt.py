@@ -47,15 +47,17 @@ def opt_position_ids(attention_mask: jax.Array) -> jax.Array:
     return jnp.cumsum(mask, axis=1) * mask - 1
 
 
-def init_cache(config: OPTConfig, batch: int, max_len: int, dtype=jnp.float32) -> Cache:
-    """Preallocate a fixed-shape KV cache.
+def init_cache(config, batch: int, max_len: int, dtype=jnp.float32) -> Cache:
+    """Preallocate a fixed-shape KV cache (shared by OPT and LLaMA decoders).
 
-    Layout: k/v are (num_layers, batch, max_len, num_heads, head_dim). ``index`` is
-    the number of filled positions; ``mask`` carries the 0/1 attention mask of the
-    filled prefix (so left padding inside the prompt keeps masking during decode);
-    ``pos`` is the next position id per sequence (count of attended tokens so far).
+    Layout: k/v are (num_layers, batch, max_len, num_kv_heads, head_dim). ``index``
+    is the number of filled positions; ``mask`` carries the 0/1 attention mask of
+    the filled prefix (so left padding inside the prompt keeps masking during
+    decode); ``pos`` is the next position id per sequence (count of attended
+    tokens so far).
     """
-    shape = (config.num_hidden_layers, batch, max_len, config.num_attention_heads, config.head_dim)
+    kv_heads = getattr(config, "num_key_value_heads", config.num_attention_heads)
+    shape = (config.num_hidden_layers, batch, max_len, kv_heads, config.head_dim)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),

@@ -73,6 +73,104 @@ def test_text_lm_greedy_matches_hf(opt_checkpoint):
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
 
 
+@pytest.fixture(scope="module")
+def llama_checkpoint(tmp_path_factory):
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    from tests.util_tokenizer import build_tiny_tokenizer
+
+    d = str(tmp_path_factory.mktemp("llama_ckpt"))
+    cfg = HFLlamaConfig(
+        vocab_size=384, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, max_position_embeddings=128,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+    build_tiny_tokenizer(d, vocab_size=384)
+    return d, model
+
+
+def test_text_lm_llama_greedy_matches_hf(llama_checkpoint):
+    """The Llama-2-chat recipe the reference actually runs
+    (generate_std_sent.py:24-45), token-identical through TextLM."""
+    path, hf_model = llama_checkpoint
+    import jax
+    import jax.numpy as jnp
+
+    from eilev_tpu.data.collate import _pad_1d
+    from eilev_tpu.generation import GenerationConfig
+    from eilev_tpu.generation.decoding import _greedy_sample_decoder_only
+    from eilev_tpu.generation.text_lm import TextLM
+
+    lm = TextLM(path, dtype=jnp.float32)
+    from eilev_tpu.configs import LlamaConfig
+
+    assert isinstance(lm.config.text_config, LlamaConfig)
+    prompts = ["[INST] Generate a sentence [/INST]", "cut onion"]
+    texts = lm.generate(
+        prompts,
+        GenerationConfig(max_new_tokens=6, pad_token_id=lm.tokenizer.pad_token_id,
+                         eos_token_id=(0,)),
+    )
+    assert len(texts) == 2
+
+    enc = [lm.tokenizer(t)["input_ids"] for t in prompts]
+    longest = max(len(e) for e in enc)
+    ids = np.stack([_pad_1d(np.asarray(e), longest, lm.tokenizer.pad_token_id, "left") for e in enc])
+    mask = np.stack([_pad_1d(np.ones(len(e), np.int64), longest, 0, "left") for e in enc])
+    with torch.no_grad():
+        ref = hf_model.generate(
+            inputs_embeds=hf_model.get_input_embeddings()(torch.tensor(ids)),
+            attention_mask=torch.tensor(mask),
+            max_new_tokens=6, do_sample=False, eos_token_id=None, pad_token_id=0,
+        ).numpy()
+    embeds = lm.module.apply(lm.variables, jnp.asarray(ids), method=type(lm.module).embed_and_scatter)
+    ours = np.asarray(
+        _greedy_sample_decoder_only(
+            lm.module, lm.variables, embeds, jnp.asarray(mask),
+            GenerationConfig(max_new_tokens=6, pad_token_id=0, eos_token_id=()),
+            jax.random.PRNGKey(0),
+        )
+    )
+    n = min(ref.shape[1], ours.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+def test_text_lm_llama_beam_matches_hf(llama_checkpoint):
+    path, hf_model = llama_checkpoint
+    import jax.numpy as jnp
+
+    from eilev_tpu.data.collate import _pad_1d
+    from eilev_tpu.generation import GenerationConfig
+    from eilev_tpu.generation.decoding import _beam_search_decoder_only
+    from eilev_tpu.generation.text_lm import TextLM
+
+    lm = TextLM(path, dtype=jnp.float32)
+    prompts = ["The camera wearer cuts", "a b"]
+    enc = [lm.tokenizer(t)["input_ids"] for t in prompts]
+    longest = max(len(e) for e in enc)
+    ids = np.stack([_pad_1d(np.asarray(e), longest, lm.tokenizer.pad_token_id, "left") for e in enc])
+    mask = np.stack([_pad_1d(np.ones(len(e), np.int64), longest, 0, "left") for e in enc])
+    with torch.no_grad():
+        ref = hf_model.generate(
+            inputs_embeds=hf_model.get_input_embeddings()(torch.tensor(ids)),
+            attention_mask=torch.tensor(mask),
+            max_new_tokens=5, num_beams=3, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        ).numpy()
+    embeds = lm.module.apply(lm.variables, jnp.asarray(ids), method=type(lm.module).embed_and_scatter)
+    ours = np.asarray(
+        _beam_search_decoder_only(
+            lm.module, lm.variables, embeds, jnp.asarray(mask),
+            GenerationConfig(max_new_tokens=5, num_beams=3, pad_token_id=0, eos_token_id=()),
+        )
+    )
+    n = min(ref.shape[1], ours.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
 def test_text_lm_rejects_non_opt(tmp_path):
     import json
 

@@ -45,6 +45,26 @@ def opt_checkpoint(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def llama_checkpoint(tmp_path_factory):
+    """Bare LLaMA LM dir - the model family the reference actually runs for
+    these CLIs (generate_std_sent.py:24-45)."""
+    import torch
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    from tests.util_tokenizer import build_tiny_tokenizer
+
+    d = str(tmp_path_factory.mktemp("llamackpt") / "model")
+    cfg = HFLlamaConfig(
+        vocab_size=384, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, max_position_embeddings=256,
+    )
+    torch.manual_seed(0)
+    LlamaForCausalLM(cfg).save_pretrained(d, safe_serialization=True)
+    build_tiny_tokenizer(d, vocab_size=384)
+    return d
+
+
+@pytest.fixture(scope="module")
 def video(tmp_path_factory):
     from tests.data.test_native_decoder import _write_y4m
 
@@ -77,7 +97,9 @@ def test_eilev_chat_core(checkpoint, video):
     assert chat.prompts == [("", 0)] and chat.videos == []
 
 
-def test_generate_std_sent_cli(opt_checkpoint, tmp_path):
+@pytest.mark.parametrize("backend", ["opt", "llama"])
+def test_generate_std_sent_cli(opt_checkpoint, llama_checkpoint, backend, tmp_path):
+    ckpt = opt_checkpoint if backend == "opt" else llama_checkpoint
     ann = tmp_path / "ann.csv"
     with open(ann, "w", newline="") as f:
         w = csv.DictWriter(f, ["frame_path", "structured_verb", "structured_noun"])
@@ -88,7 +110,7 @@ def test_generate_std_sent_cli(opt_checkpoint, tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         [sys.executable, "scripts/ego4d/generate_std_sent.py",
-         "--model", opt_checkpoint, "--annotation", str(ann),
+         "--model", ckpt, "--annotation", str(ann),
          "--annotation_with_std_sent", str(out), "--max_new_tokens", "4"],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
     )
