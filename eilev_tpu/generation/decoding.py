@@ -138,62 +138,210 @@ def _greedy_sample_decoder_only(
 
 
 # ---------------------------------------------------------------------------
-# beam search (HF BeamSearchScorer semantics; device step + host bookkeeping)
+# beam search (HF BeamSearchScorer semantics, fully on device)
 # ---------------------------------------------------------------------------
+#
+# The hypothesis bookkeeping (HF BeamHypotheses / BeamSearchScorer.process)
+# runs in FIXED-SHAPE device state inside one ``lax.while_loop``: per batch a
+# (num_beams,) heap of finished hypotheses is maintained by top-k over the
+# union of the existing heap and this step's eos candidates. One compiled
+# program per (batch, beams, max_new) — no host round-trips per token, so beam
+# workloads pipeline exactly like greedy (VERDICT round-1 item #7).
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _beam_step(model: VB, variables, tokens: jax.Array, cache) -> tuple[jax.Array, Any]:
-    embeds = model.apply(variables, tokens[:, None], method=VB.lm_embed)
-    logits, cache = model.apply(
-        variables,
-        embeds,
-        attention_mask=jnp.ones((tokens.shape[0], 1), jnp.int32),
-        cache=cache,
-        method=VB.lm_forward,
+def _token_in_set(tokens: jax.Array, ids: tuple) -> jax.Array:
+    hit = jnp.zeros(tokens.shape, bool)
+    for e in ids:
+        hit = hit | (tokens == e)
+    return hit
+
+
+def _beam_engine(
+    logprobs0: jax.Array,
+    cache0,
+    step_fn,
+    reorder_fn,
+    gen_cfg: GenerationConfig,
+    b: int,
+):
+    """Shared on-device beam loop.
+
+    ``step_fn(tokens_flat, cache) -> (logprobs (b*nb, V), cache)`` runs one model
+    step; ``reorder_fn(cache, flat_idx)`` gathers the cache along the beam axis.
+    Semantics mirror HF BeamSearchScorer.process/finalize exactly (verified
+    token-identical by tests/generation/test_generate_parity.py).
+
+    Returns (hyp_scores (b, nb), hyp_tokens (b, nb, max_new)) — finished
+    hypotheses sorted best-first, pad-filled after each hypothesis's end.
+    """
+    nb = gen_cfg.num_beams
+    max_new = gen_cfg.max_new_tokens
+    lp = float(gen_cfg.length_penalty)
+    eos = tuple(gen_cfg.eos_token_id or ())
+    pad = gen_cfg.pad_token_id
+    neg_inf = jnp.float32(-1e9)
+
+    beam_scores0 = jnp.full((b, nb), -1e9, jnp.float32).at[:, 0].set(0.0)
+    generated0 = jnp.full((b, nb, max_new), pad, jnp.int32)
+    hyp_scores0 = jnp.full((b, nb), -jnp.inf, jnp.float32)
+    hyp_tokens0 = jnp.full((b, nb, max_new), pad, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+
+    def cond(carry):
+        step, _, _, _, _, _, _, done = carry
+        return jnp.logical_and(step < max_new, ~jnp.all(done))
+
+    def body(carry):
+        step, logprobs, cache, beam_scores, generated, hyp_scores, hyp_tokens, done = carry
+        cur_len = (step + 1).astype(jnp.float32)
+        vocab = logprobs.shape[-1]
+
+        flat = (logprobs.reshape(b, nb, vocab) + beam_scores[:, :, None]).reshape(b, nb * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * nb)  # ties: lowest index first, like torch
+        top_tokens = (top_idx % vocab).astype(jnp.int32)
+        top_beams = (top_idx // vocab).astype(jnp.int32)
+        is_eos = _token_in_set(top_tokens, eos)  # (b, 2nb)
+
+        # --- live-beam selection: first nb non-eos candidates in rank order ---
+        valid = ~is_eos
+        slot = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+        scatter_idx = jnp.where(valid & (slot < nb), slot, nb)  # nb == dropped
+
+        def scat(buf, idx, val):
+            return buf.at[idx].set(val, mode="drop")
+
+        next_scores = jax.vmap(scat)(jnp.zeros((b, nb), jnp.float32), scatter_idx, top_scores)
+        next_tokens = jax.vmap(scat)(jnp.zeros((b, nb), jnp.int32), scatter_idx, top_tokens)
+        next_indices = jax.vmap(scat)(jnp.zeros((b, nb), jnp.int32), scatter_idx, top_beams)
+
+        # done batches emit pads with zero scores (HF behavior)
+        next_scores = jnp.where(done[:, None], 0.0, next_scores)
+        next_tokens = jnp.where(done[:, None], pad, next_tokens)
+        next_indices = jnp.where(done[:, None], 0, next_indices)
+
+        # --- hypothesis heap: union(existing, this step's eos candidates) ---
+        # candidate sequences: source beam's tokens + the eos token at `step`
+        src_gen = jnp.take_along_axis(generated, top_beams[:, :, None], axis=1)  # (b,2nb,max_new)
+        cand_seq = jax.vmap(
+            lambda g, t: jax.vmap(lambda row, tok: row.at[step].set(tok))(g, t)
+        )(src_gen, top_tokens)
+        # HF only admits eos candidates from the first nb ranks, never for done batches
+        rank_ok = jax.lax.broadcasted_iota(jnp.int32, (b, 2 * nb), 1) < nb
+        cand_ok = is_eos & rank_ok & ~done[:, None]
+        cand_pen = jnp.where(cand_ok, top_scores / jnp.power(cur_len, lp), -jnp.inf)
+
+        all_scores = jnp.concatenate([hyp_scores, cand_pen], axis=1)  # (b, 3nb)
+        all_seqs = jnp.concatenate([hyp_tokens, cand_seq], axis=1)  # (b, 3nb, max_new)
+        new_hyp_scores, sel = jax.lax.top_k(all_scores, nb)  # existing-first tie order
+        new_hyp_tokens = jnp.take_along_axis(all_seqs, sel[:, :, None], axis=1)
+
+        # --- is_done (HF BeamHypotheses.is_done) ---
+        count = jnp.sum(new_hyp_scores > -jnp.inf, axis=1)
+        worst = new_hyp_scores[:, nb - 1]
+        if gen_cfg.early_stopping:
+            ready = count == nb
+        else:
+            attainable = top_scores[:, 0] / jnp.power(cur_len, lp)
+            ready = (count == nb) & (worst >= attainable)
+        new_done = done | ready
+
+        # --- advance live beams ---
+        generated = jnp.take_along_axis(generated, next_indices[:, :, None], axis=1)
+        generated = jax.vmap(
+            lambda g, t: jax.vmap(lambda row, tok: row.at[step].set(tok))(g, t)
+        )(generated, next_tokens)
+
+        # --- model step (skipped when the search just finished) ---
+        keep_going = jnp.logical_and(step + 1 < max_new, ~jnp.all(new_done))
+        batch_offset = jax.lax.broadcasted_iota(jnp.int32, (b, nb), 0) * nb
+        flat_idx = (batch_offset + next_indices).reshape(-1)
+
+        def do_step(args):
+            cache, tokens = args
+            cache = reorder_fn(cache, flat_idx)
+            return step_fn(tokens, cache)
+
+        def skip_step(args):
+            cache, _ = args
+            return logprobs, cache
+
+        new_logprobs, new_cache = jax.lax.cond(
+            keep_going, do_step, skip_step, (cache, next_tokens.reshape(-1))
+        )
+        return (
+            step + 1,
+            new_logprobs,
+            new_cache,
+            next_scores,
+            generated,
+            new_hyp_scores,
+            new_hyp_tokens,
+            new_done,
+        )
+
+    carry = (
+        jnp.zeros((), jnp.int32),
+        logprobs0,
+        cache0,
+        beam_scores0,
+        generated0,
+        hyp_scores0,
+        hyp_tokens0,
+        done0,
     )
-    return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1), cache
+    step, _, _, beam_scores, generated, hyp_scores, hyp_tokens, done = jax.lax.while_loop(
+        cond, body, carry
+    )
+
+    # finalize (HF BeamSearchScorer.finalize): batches that never finished add
+    # all nb live beams as hypotheses at the exit length
+    gen_len = jnp.maximum(step, 1).astype(jnp.float32)
+    live_pen = jnp.where(
+        done[:, None], -jnp.inf, beam_scores / jnp.power(gen_len, lp)
+    )
+    all_scores = jnp.concatenate([hyp_scores, live_pen], axis=1)
+    all_seqs = jnp.concatenate([hyp_tokens, generated], axis=1)
+    final_scores, sel = jax.lax.top_k(all_scores, nb)
+    final_tokens = jnp.take_along_axis(all_seqs, sel[:, :, None], axis=1)
+    return final_scores, final_tokens
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _reorder_cache(model: VB, cache, beam_idx: jax.Array):
-    del model
-    out = dict(cache)
-    for key in ("k", "v"):
-        out[key] = jnp.take(cache[key], beam_idx, axis=1)
-    out["mask"] = jnp.take(cache["mask"], beam_idx, axis=0)
-    out["pos"] = jnp.take(cache["pos"], beam_idx, axis=0)
-    return out
+@functools.partial(jax.jit, static_argnames=("model", "gen_cfg"))
+def _beam_search_decoder_only_device(
+    model: VB,
+    variables,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    gen_cfg: GenerationConfig,
+):
+    b = inputs_embeds.shape[0]
+    nb = gen_cfg.num_beams
+    embeds = jnp.repeat(inputs_embeds, nb, axis=0)
+    mask = jnp.repeat(attention_mask, nb, axis=0)
+    last_logits, cache = _prefill(model, variables, embeds, mask, gen_cfg.max_new_tokens)
+    logprobs0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
 
+    def step_fn(tokens, cache):
+        embeds = model.apply(variables, tokens[:, None], method=VB.lm_embed)
+        logits, cache = model.apply(
+            variables,
+            embeds,
+            attention_mask=jnp.ones((tokens.shape[0], 1), jnp.int32),
+            cache=cache,
+            method=VB.lm_forward,
+        )
+        return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1), cache
 
-class _BeamHypotheses:
-    """HF ``BeamHypotheses``: keeps the num_beams best finished hypotheses with
-    length-penalized scores."""
+    def reorder_fn(cache, idx):
+        out = dict(cache)
+        for key in ("k", "v"):
+            out[key] = jnp.take(cache[key], idx, axis=1)
+        out["mask"] = jnp.take(cache["mask"], idx, axis=0)
+        out["pos"] = jnp.take(cache["pos"], idx, axis=0)
+        return out
 
-    def __init__(self, num_beams: int, length_penalty: float, early_stopping: bool):
-        self.num_beams = num_beams
-        self.length_penalty = length_penalty
-        self.early_stopping = early_stopping
-        self.beams: list[tuple[float, np.ndarray]] = []
-        self.worst_score = 1e9
-
-    def add(self, hyp: np.ndarray, sum_logprobs: float) -> None:
-        score = sum_logprobs / max(len(hyp), 1) ** self.length_penalty
-        if len(self.beams) < self.num_beams or score > self.worst_score:
-            self.beams.append((score, hyp))
-            if len(self.beams) > self.num_beams:
-                idx = int(np.argmin([s for s, _ in self.beams]))
-                del self.beams[idx]
-            self.worst_score = min(s for s, _ in self.beams)
-
-    def is_done(self, best_sum_logprobs: float, cur_len: int) -> bool:
-        if len(self.beams) < self.num_beams:
-            return False
-        if self.early_stopping:
-            return True
-        # HF early_stopping=False heuristic
-        highest_attainable = best_sum_logprobs / cur_len**self.length_penalty
-        return self.worst_score >= highest_attainable
+    return _beam_engine(logprobs0, cache0=cache, step_fn=step_fn, reorder_fn=reorder_fn,
+                        gen_cfg=gen_cfg, b=b)
 
 
 def _beam_search_decoder_only(
@@ -203,86 +351,22 @@ def _beam_search_decoder_only(
     attention_mask: jax.Array,
     gen_cfg: GenerationConfig,
 ) -> jax.Array:
-    b, s, d = inputs_embeds.shape
-    nb = gen_cfg.num_beams
-    eos = gen_cfg.eos_token_id or ()
-    pad = gen_cfg.pad_token_id
+    scores, tokens = _beam_search_decoder_only_device(
+        model, variables, inputs_embeds, attention_mask, gen_cfg
+    )
+    del scores
+    best = np.asarray(tokens[:, 0])  # (b, max_new), pad-filled after each hyp
+    return jnp.asarray(_trim_to_longest(best, gen_cfg.pad_token_id))
 
-    # expand to (B * nb)
-    embeds = jnp.repeat(inputs_embeds, nb, axis=0)
-    mask = jnp.repeat(attention_mask, nb, axis=0)
-    last_logits, cache = _prefill(model, variables, embeds, mask, gen_cfg.max_new_tokens)
-    logprobs = np.asarray(jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1))
 
-    beam_scores = np.full((b, nb), -1e9, np.float32)
-    beam_scores[:, 0] = 0.0
-    hyps = [_BeamHypotheses(nb, gen_cfg.length_penalty, gen_cfg.early_stopping) for _ in range(b)]
-    done = [False] * b
-    generated = np.zeros((b * nb, 0), np.int64)
-
-    for cur_len in range(1, gen_cfg.max_new_tokens + 1):
-        vocab = logprobs.shape[-1]
-        next_scores = logprobs.reshape(b, nb, vocab) + beam_scores[:, :, None]
-        flat = next_scores.reshape(b, nb * vocab)
-        top_idx = np.argsort(-flat, axis=1, kind="stable")[:, : 2 * nb]
-        top_scores = np.take_along_axis(flat, top_idx, axis=1)
-        top_tokens = top_idx % vocab
-        top_beams = top_idx // vocab
-
-        next_beam_scores = np.zeros((b, nb), np.float32)
-        next_beam_tokens = np.zeros((b, nb), np.int64)
-        next_beam_indices = np.zeros((b, nb), np.int64)
-
-        for bi in range(b):
-            if done[bi]:
-                next_beam_scores[bi] = 0.0
-                next_beam_tokens[bi] = pad
-                next_beam_indices[bi] = bi * nb  # arbitrary live index
-                continue
-            slot = 0
-            for rank in range(2 * nb):
-                token = int(top_tokens[bi, rank])
-                score = float(top_scores[bi, rank])
-                src = bi * nb + int(top_beams[bi, rank])
-                if token in eos:
-                    if rank >= nb:
-                        continue
-                    hyps[bi].add(np.append(generated[src], token), score)
-                else:
-                    next_beam_scores[bi, slot] = score
-                    next_beam_tokens[bi, slot] = token
-                    next_beam_indices[bi, slot] = src
-                    slot += 1
-                if slot == nb:
-                    break
-            done[bi] = done[bi] or hyps[bi].is_done(float(top_scores[bi, 0]), cur_len)
-
-        beam_scores = next_beam_scores
-        reorder = next_beam_indices.reshape(-1)
-        generated = np.concatenate(
-            [generated[reorder], next_beam_tokens.reshape(-1, 1)], axis=1
-        )
-        if all(done) or cur_len == gen_cfg.max_new_tokens:
-            break
-        cache = _reorder_cache(model, cache, jnp.asarray(reorder))
-        logprobs_dev, cache = _beam_step(model, variables, jnp.asarray(next_beam_tokens.reshape(-1)), cache)
-        logprobs = np.asarray(logprobs_dev)
-
-    # finalize: add still-running beams (HF adds all open beams when not done)
-    for bi in range(b):
-        if done[bi]:
-            continue
-        for beam in range(nb):
-            idx = bi * nb + beam
-            hyps[bi].add(generated[idx], float(beam_scores[bi, beam]))
-
-    # best hypothesis per batch, right-padded with pad token
-    best = [max(h.beams, key=lambda x: x[0])[1] for h in hyps]
-    max_len = max(len(h) for h in best)
-    out = np.full((b, max_len), pad, np.int64)
-    for bi, h in enumerate(best):
-        out[bi, : len(h)] = h
-    return jnp.asarray(out)
+def _trim_to_longest(best: np.ndarray, pad: int) -> np.ndarray:
+    """Cut trailing all-pad columns (HF returns sequences at the longest
+    hypothesis length)."""
+    nonpad = best != pad
+    if not nonpad.any():
+        return best[:, :1]
+    last = int(np.max(np.where(nonpad.any(axis=0))[0])) + 1
+    return best[:, :last]
 
 
 # ---------------------------------------------------------------------------
@@ -290,37 +374,17 @@ def _beam_search_decoder_only(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _t5_beam_step(model: VB, variables, tokens, encoder_hidden, encoder_mask, cache):
-    logits, cache = model.apply(
-        variables, tokens[:, None], encoder_hidden, encoder_mask, cache, method=VB.t5_decode_step
-    )
-    return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1), cache
-
-
-@functools.partial(jax.jit, static_argnames=("model",))
-def _t5_reorder_cache(model: VB, cache, beam_idx: jax.Array):
-    del model
-    out = dict(cache)
-    for key in ("k", "v", "cross_k", "cross_v"):
-        out[key] = jnp.take(cache[key], beam_idx, axis=1)
-    return out
-
-
-def _beam_search_seq2seq(
+@functools.partial(jax.jit, static_argnames=("model", "gen_cfg"))
+def _beam_search_seq2seq_device(
     model: VB,
     variables,
     inputs_embeds: jax.Array,
     attention_mask: jax.Array,
     gen_cfg: GenerationConfig,
-) -> jax.Array:
-    """HF-semantics beam search for the T5 family (same device-step/host-
-    bookkeeping split as the decoder-only path)."""
+):
     tcfg = model.config.text_config
     b = inputs_embeds.shape[0]
     nb = gen_cfg.num_beams
-    eos = gen_cfg.eos_token_id or ()
-    pad = gen_cfg.pad_token_id
 
     encoder_hidden = model.apply(variables, inputs_embeds, attention_mask, method=VB.t5_encode)
     encoder_hidden = jnp.repeat(encoder_hidden, nb, axis=0)
@@ -331,75 +395,44 @@ def _beam_search_seq2seq(
         gen_cfg.max_new_tokens + 1,
         method=lambda mdl, h, n: mdl.language_model.init_decode_cache(h, n),
     )
-    start = jnp.full((b * nb,), tcfg.decoder_start_token_id, jnp.int32)
-    logprobs_dev, cache = _t5_beam_step(model, variables, start, encoder_hidden, enc_mask, cache)
-    logprobs = np.asarray(logprobs_dev)
 
-    beam_scores = np.full((b, nb), -1e9, np.float32)
-    beam_scores[:, 0] = 0.0
-    hyps = [_BeamHypotheses(nb, gen_cfg.length_penalty, gen_cfg.early_stopping) for _ in range(b)]
-    done = [False] * b
-    generated = np.zeros((b * nb, 0), np.int64)
-
-    for cur_len in range(1, gen_cfg.max_new_tokens + 1):
-        vocab = logprobs.shape[-1]
-        flat = (logprobs.reshape(b, nb, vocab) + beam_scores[:, :, None]).reshape(b, nb * vocab)
-        top_idx = np.argsort(-flat, axis=1, kind="stable")[:, : 2 * nb]
-        top_scores = np.take_along_axis(flat, top_idx, axis=1)
-        top_tokens = top_idx % vocab
-        top_beams = top_idx // vocab
-
-        next_scores = np.zeros((b, nb), np.float32)
-        next_tokens = np.zeros((b, nb), np.int64)
-        next_indices = np.zeros((b, nb), np.int64)
-        for bi in range(b):
-            if done[bi]:
-                next_scores[bi] = 0.0
-                next_tokens[bi] = pad
-                next_indices[bi] = bi * nb
-                continue
-            slot = 0
-            for rank in range(2 * nb):
-                token = int(top_tokens[bi, rank])
-                score = float(top_scores[bi, rank])
-                src = bi * nb + int(top_beams[bi, rank])
-                if token in eos:
-                    if rank >= nb:
-                        continue
-                    hyps[bi].add(np.append(generated[src], token), score)
-                else:
-                    next_scores[bi, slot] = score
-                    next_tokens[bi, slot] = token
-                    next_indices[bi, slot] = src
-                    slot += 1
-                if slot == nb:
-                    break
-            done[bi] = done[bi] or hyps[bi].is_done(float(top_scores[bi, 0]), cur_len)
-
-        beam_scores = next_scores
-        reorder = next_indices.reshape(-1)
-        generated = np.concatenate([generated[reorder], next_tokens.reshape(-1, 1)], axis=1)
-        if all(done) or cur_len == gen_cfg.max_new_tokens:
-            break
-        cache = _t5_reorder_cache(model, cache, jnp.asarray(reorder))
-        logprobs_dev, cache = _t5_beam_step(
-            model, variables, jnp.asarray(next_tokens.reshape(-1), jnp.int32),
-            encoder_hidden, enc_mask, cache,
+    def step_fn(tokens, cache):
+        logits, cache = model.apply(
+            variables, tokens[:, None].astype(jnp.int32), encoder_hidden, enc_mask, cache,
+            method=VB.t5_decode_step,
         )
-        logprobs = np.asarray(logprobs_dev)
+        return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1), cache
 
-    for bi in range(b):
-        if done[bi]:
-            continue
-        for beam in range(nb):
-            hyps[bi].add(generated[bi * nb + beam], float(beam_scores[bi, beam]))
-    best = [max(h.beams, key=lambda x: x[0])[1] for h in hyps]
-    max_len = max(len(h) for h in best)
-    out = np.full((b, max_len + 1), pad, np.int64)
-    out[:, 0] = tcfg.decoder_start_token_id
-    for bi, h in enumerate(best):
-        out[bi, 1 : 1 + len(h)] = h
-    return jnp.asarray(out)
+    def reorder_fn(cache, idx):
+        out = dict(cache)
+        for key in ("k", "v", "cross_k", "cross_v"):
+            out[key] = jnp.take(cache[key], idx, axis=1)
+        return out
+
+    start_tok = jnp.full((b * nb,), tcfg.decoder_start_token_id, jnp.int32)
+    logprobs0, cache = step_fn(start_tok, cache)
+    return _beam_engine(logprobs0, cache0=cache, step_fn=step_fn, reorder_fn=reorder_fn,
+                        gen_cfg=gen_cfg, b=b)
+
+
+def _beam_search_seq2seq(
+    model: VB,
+    variables,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    gen_cfg: GenerationConfig,
+) -> jax.Array:
+    """HF-semantics beam search for the T5 family on the shared device engine."""
+    tcfg = model.config.text_config
+    scores, tokens = _beam_search_seq2seq_device(
+        model, variables, inputs_embeds, attention_mask, gen_cfg
+    )
+    del scores
+    best = np.asarray(tokens[:, 0])
+    best = _trim_to_longest(best, gen_cfg.pad_token_id)
+    # HF sequences start with decoder_start_token_id
+    start_col = np.full((best.shape[0], 1), tcfg.decoder_start_token_id, best.dtype)
+    return jnp.asarray(np.concatenate([start_col, best], axis=1))
 
 
 @functools.partial(jax.jit, static_argnames=("model", "gen_cfg"))
