@@ -96,11 +96,12 @@ def add_common_args(parser) -> None:
     parser.add_argument("--dry_run", action="store_true")
 
 
-def finish(args, name: str, script: str, script_args: list[str]) -> None:
+def finish(args, name: str, script: str, script_args: list[str], *, forward_wandb: bool = True) -> None:
     env = {"EILEV_TPU_REPO": args.repo_path}
     if args.wandb_project:
         env["WANDB_PROJECT"] = args.wandb_project
-        script_args = script_args + ["--wandb_project", args.wandb_project]
+        if forward_wandb:  # baseline CLIs don't take the flag; env still set
+            script_args = script_args + ["--wandb_project", args.wandb_project]
     command = build_command(script, script_args, env)
     if args.backend == "slurm":
         text = slurm_script(

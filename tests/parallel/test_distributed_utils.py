@@ -69,3 +69,27 @@ def test_launcher_dry_runs(tmp_path):
     ])
     assert "gcloud compute tpus tpu-vm ssh my-tpu" in out
     assert "scripts/icl_eval.py" in out
+
+    # baseline launchers (reference slurm-scripts/train/submit_videomae_train.py
+    # + icl-eval/submit_{videomae,majority}_generate_full_sent.py)
+    out = run([
+        os.path.join(REPO, "launch/submit_videomae_train.py"),
+        "--backend", "slurm", "--account", "acc", "--partition", "part",
+        "--verb", "--train_batch_size", "64", "--wandb_project", "wp", "--dry_run",
+        "--", "--train_frames_dir", "/t", "--val_frames_dir", "/v", "--output_dir", "/o",
+    ])
+    assert "scripts/baselines/videomae_train.py" in out
+    assert "--verb" in out and "--batch_size 64" in out
+    assert "export WANDB_PROJECT=wp" in out
+    assert "--wandb_project" not in out.split("videomae_train.py")[1]
+    assert (tmp_path / "videomae-train-verb.sh").exists()
+
+    for mode in ("videomae", "majority"):
+        out = run([
+            os.path.join(REPO, "launch/submit_generate_full_sent.py"),
+            "--mode", mode, "--tpu_name", "t", "--zone", "z", "--dry_run",
+            "--", "--model", "/llama", "--predictions_csv", "/p.csv",
+            "--output_csv", "/o.csv",
+        ])
+        assert f"scripts/baselines/{mode}_generate_full_sent.py" in out
+        assert (tmp_path / f"{mode}-generate-full-sent.sh").exists()
