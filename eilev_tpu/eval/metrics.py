@@ -153,13 +153,24 @@ def bert_score_f1(
     predictions: Sequence[str],
     references: Sequence[str],
     model_path: Optional[str] = None,
+    *,
+    num_layers: Optional[int] = None,
+    baseline: Optional[float] = None,
 ) -> float:
-    """Rescaled BERTScore F1 (reference generation_eval.py:29-41). Requires a
-    local BERT-family checkpoint; raises with instructions when unavailable."""
+    """BERTScore F1 (reference generation_eval.py:58-72) from a LOCAL
+    BERT/RoBERTa/MPNet checkpoint — torch-free (eval/encoder.py). ``num_layers``
+    defaults to bert_score's per-model table (roberta-large -> 17) when the
+    geometry is recognized, else the last layer. ``baseline`` applies
+    rescale_with_baseline given the model's published baseline value."""
     raise_unless_local("BERTScore", model_path)
-    from bert_score import score  # type: ignore
+    from .encoder import SentenceEncoder, bertscore_native
 
-    _, _, f1 = score(list(predictions), list(references), model_type=model_path, rescale_with_baseline=True)
+    enc = SentenceEncoder(model_path)
+    if num_layers is None:
+        cfg = enc.config
+        if cfg.model_type == "roberta" and cfg.num_hidden_layers == 24:
+            num_layers = 17  # roberta-large, the torchmetrics default model
+    f1 = bertscore_native(predictions, references, enc, num_layers=num_layers, baseline=baseline)
     return float(f1.mean())
 
 
@@ -168,17 +179,16 @@ def sts_biencoder_cosine(
     references: Sequence[str],
     model_path: Optional[str] = None,
 ) -> float:
-    """Mean cosine similarity under a sentence-transformers bi-encoder
-    (all-mpnet-base-v2 in the reference)."""
+    """Mean pairwise cosine under a mean-pooled sentence encoder — the
+    all-mpnet-base-v2 pipeline of the reference (generation_eval.py:14-33),
+    torch-free from a local checkpoint (eval/encoder.py)."""
     raise_unless_local("STS bi-encoder", model_path)
-    from sentence_transformers import SentenceTransformer, util  # type: ignore
+    from .encoder import SentenceEncoder
 
-    model = SentenceTransformer(model_path)
-    a = model.encode(list(predictions), convert_to_tensor=True)
-    b = model.encode(list(references), convert_to_tensor=True)
-    import torch
-
-    return float(util.cos_sim(a, b).diagonal().mean())
+    enc = SentenceEncoder(model_path)
+    a = enc.encode(list(predictions))
+    b = enc.encode(list(references))
+    return float(np.mean(np.sum(a * b, axis=-1)))
 
 
 def sts_crossencoder(
@@ -186,12 +196,13 @@ def sts_crossencoder(
     references: Sequence[str],
     model_path: Optional[str] = None,
 ) -> float:
-    """Cross-encoder STS score (stsb-roberta-large in the reference)."""
+    """Cross-encoder STS score (stsb-roberta-large in the reference,
+    generation_eval.py:37-49) — torch-free from a local checkpoint."""
     raise_unless_local("STS cross-encoder", model_path)
-    from sentence_transformers import CrossEncoder  # type: ignore
+    from .encoder import SentenceEncoder
 
-    model = CrossEncoder(model_path)
-    return float(np.mean(model.predict(list(zip(predictions, references)))))
+    enc = SentenceEncoder(model_path, cross_encoder=True)
+    return float(np.mean(enc.predict_pairs(list(zip(predictions, references)))))
 
 
 def raise_unless_local(name: str, model_path: Optional[str]) -> None:

@@ -22,12 +22,12 @@ import argparse
 import json
 
 # Published Ego4D held-out numbers for EILeV blip2-opt-2.7b (reference
-# figures/icl_eval_figures.ipynb cell 3; shot axis 0 and 16):
+# figures/icl_eval_figures.ipynb cell 3; shared with scripts/verify_quality.py)
+from eilev_tpu.eval.published import EGO4D_OPT_2_7B as _PUB
+
 PUBLISHED = {
-    "rougeL": {0: 0.2315, 16: 0.6296},
-    "bleu": {0: 0.0088, 16: 0.3049},
-    "sts_biencoder": {0: 0.3278, 16: 0.6936},
-    "bertscore_f1": {16: 0.6529},
+    metric: {shot: vals[metric] for shot, vals in _PUB.items() if metric in vals}
+    for metric in ("rougeL", "bleu", "sts_biencoder", "bertscore_f1")
 }
 
 

@@ -171,3 +171,56 @@ def test_sample_and_generate_and_eval_cli(world):
     metrics = json.load(open(out_json))
     assert set(metrics) >= {"bleu", "rougeL"}
     assert 0.0 <= metrics["rougeL"] <= 1.0
+
+
+def test_verify_quality_mocked_mode(world, tmp_path):
+    """Mocked mode: score a pre-generated CSV and diff vs the published table."""
+    csv_path = tmp_path / "gen16.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, ["generated", "ground_truth"])
+        w.writeheader()
+        for i in range(4):  # identical texts: rougeL == bleu == 1.0
+            w.writerow({"generated": f"The camera wearer cuts onion {i}.",
+                        "ground_truth": f"The camera wearer cuts onion {i}."})
+    # 1.0 is far from the published 16-shot 0.6296 -> FAIL at tol 0.02
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "scripts/verify_quality.py",
+         "--generated_csv", f"16={csv_path}", "--tolerance", "0.02"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "FAIL" in proc.stdout and "quality parity FAILED" in proc.stdout
+    # generous tolerance -> PASS, and the STS column reports skip without a model
+    proc = subprocess.run(
+        [sys.executable, "scripts/verify_quality.py",
+         "--generated_csv", f"16={csv_path}", "--tolerance", "1.0"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "quality parity PASSED" in proc.stdout
+    assert "[skip] 16-shot sts_biencoder" in proc.stdout
+
+
+def test_verify_quality_full_pipeline(world, tmp_path):
+    """Full mode: one command drives sample -> generate -> score -> diff on the
+    tiny checkpoint (tolerance 1.0: the gate is the plumbing, not the numbers)."""
+    frames_dir = world / "frames"
+    if not frames_dir.exists():
+        pytest.skip("extract_frames test must run first")
+    out_json = tmp_path / "quality.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "scripts/verify_quality.py",
+         "--model", str(world / "checkpoint"), "--dtype", "fp32",
+         "--eval_frames_dir", str(frames_dir),
+         "--in_context_frames_dir", str(frames_dir),
+         "--num_shots", "2", "--num_eval_datapoints", "2", "--batch_size", "2",
+         "--tolerance", "1.0", "--output_json", str(out_json),
+         "--work_dir", str(tmp_path / "work")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2500:] + proc.stderr[-2500:]
+    assert "quality parity PASSED" in proc.stdout
+    data = json.load(open(out_json))
+    assert "2" in data["results"] and "rougeL" in data["results"]["2"]
