@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Decompose the OPT decode step cost on one chip.
+
+The flagship decode step (batch 4, cache ~800) measured ~23 ms vs a ~8 ms
+weight+cache HBM-read bound. This times each ingredient as a 32-iteration
+fori_loop inside ONE jit (scalar readback), so per-call tunnel overhead (~33 ms)
+amortizes away. Drives the round-2 decode work (docs/PERF.md).
+"""
+
+import sys, os, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+B = int(os.environ.get("B", "4"))
+D, FFN, NH, HD, L = 2560, 10240, 32, 80, 32
+VOCAB = 50272
+CACHE_LEN = int(os.environ.get("CACHE_LEN", "800"))
+STEPS = 32
+REPS = int(os.environ.get("REPS", "3"))
+
+
+def timeit(name, fn, *args, bytes_per_step=None):
+    jfn = jax.jit(fn)
+    float(jfn(*args))
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(jfn(*args))
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    line = {"variant": name, "ms_per_step": round(1000 * med / STEPS, 2)}
+    if bytes_per_step:
+        line["gb_per_s"] = round(bytes_per_step / (med / STEPS) / 1e9, 0)
+    print(json.dumps(line), flush=True)
+    return med
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    s = 0.02
+    # per-layer stacked weights, like the real model's HBM footprint
+    wqkv = jax.random.normal(ks[0], (L, D, 3 * D), jnp.bfloat16) * s
+    wo = jax.random.normal(ks[1], (L, D, D), jnp.bfloat16) * s
+    w1 = jax.random.normal(ks[2], (L, D, FFN), jnp.bfloat16) * s
+    w2 = jax.random.normal(ks[3], (L, FFN, D), jnp.bfloat16) * s
+    whead = jax.random.normal(ks[4], (D, VOCAB), jnp.bfloat16) * s
+    x0 = jax.random.normal(ks[5], (B, D), jnp.bfloat16)
+    ck = jax.random.normal(ks[6], (L, B, CACHE_LEN, NH, HD), jnp.bfloat16)
+    cv = jax.random.normal(ks[7], (L, B, CACHE_LEN, NH, HD), jnp.bfloat16)
+
+    layer_bytes = 2 * (wqkv.size // L + wo.size // L + w1.size // L + w2.size // L)
+    head_bytes = 2 * whead.size
+    cache_bytes = 2 * (ck.size + cv.size) // L * L  # read k+v fully
+
+    # 1. pure weight streaming: all layer matmuls, no attention
+    def weights_only(x):
+        def step(_, x):
+            def body(i, h):
+                qkv = h @ wqkv[i]
+                h = qkv[:, :D] @ wo[i]
+                h = (h @ w1[i]) @ w2[i]
+                return h
+            return jax.lax.fori_loop(0, L, body, x)
+        out = jax.lax.fori_loop(0, STEPS, step, x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    timeit("weights only (qkv+o+ffn x32L)", weights_only, x0,
+           bytes_per_step=layer_bytes * L)
+
+    # 2. + lm head
+    def weights_head(x):
+        def step(_, x):
+            def body(i, h):
+                qkv = h @ wqkv[i]
+                h = qkv[:, :D] @ wo[i]
+                h = (h @ w1[i]) @ w2[i]
+                return h
+            h = jax.lax.fori_loop(0, L, body, x)
+            return h + 1e-6 * jnp.tanh((h @ whead)[:, :D])
+        out = jax.lax.fori_loop(0, STEPS, step, x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    timeit("weights + lm head", weights_head, x0,
+           bytes_per_step=layer_bytes * L + head_bytes)
+
+    # 3. cache attention only (read full k/v per layer)
+    def cache_attn(x):
+        def step(t, x):
+            def body(i, h):
+                q = h.reshape(B, 1, NH, HD)
+                scores = jnp.einsum("bshd,blhd->bhsl", q, ck[i])
+                p = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(h.dtype)
+                o = jnp.einsum("bhsl,blhd->bshd", p, cv[i])
+                return h + o.reshape(B, D)
+            return jax.lax.fori_loop(0, L, body, x)
+        out = jax.lax.fori_loop(0, STEPS, step, x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    timeit("cache attention only", cache_attn, x0, bytes_per_step=cache_bytes)
+
+    # 4. cache update only (DUS chain like the model)
+    def cache_update(x, ck, cv):
+        def step(t, carry):
+            x, ck, cv = carry
+            def body(i, c):
+                ck, cv = c
+                kv = jnp.broadcast_to(x.reshape(1, B, 1, NH, HD), (1, B, 1, NH, HD))
+                ck = jax.lax.dynamic_update_slice(ck, kv, (i, 0, t, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, kv, (i, 0, t, 0, 0))
+                return ck, cv
+            ck, cv = jax.lax.fori_loop(0, L, body, (ck, cv))
+            return x, ck, cv
+        _, ck, cv = jax.lax.fori_loop(0, STEPS, step, (x, ck, cv))
+        return jnp.sum(ck[0, 0, 0].astype(jnp.float32))
+
+    timeit("cache DUS update only", cache_update, x0, ck, cv)
+
+    # 5. everything together (weights + head + attention + update)
+    def full(x, ck, cv):
+        def step(t, carry):
+            x, ck, cv = carry
+            def body(i, c):
+                h, ck, cv = c
+                qkv = h @ wqkv[i]
+                q = qkv[:, :D].reshape(B, 1, NH, HD)
+                knew = qkv[:, D:2*D].reshape(1, B, 1, NH, HD)
+                vnew = qkv[:, 2*D:].reshape(1, B, 1, NH, HD)
+                ck = jax.lax.dynamic_update_slice(ck, knew.astype(ck.dtype), (i, 0, t, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vnew.astype(cv.dtype), (i, 0, t, 0, 0))
+                scores = jnp.einsum("bshd,blhd->bhsl", q, ck[i])
+                p = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(h.dtype)
+                o = jnp.einsum("bhsl,blhd->bshd", p, cv[i]).reshape(B, D)
+                h = h + o @ wo[i]
+                h = h + (h @ w1[i]) @ w2[i]
+                return h, ck, cv
+            h, ck, cv = jax.lax.fori_loop(0, L, body, (x, ck, cv))
+            h = h + 1e-6 * jnp.tanh((h @ whead)[:, :D])
+            return h, ck, cv
+        x, ck, cv = jax.lax.fori_loop(0, STEPS, step, (x, ck, cv))
+        return jnp.sum(x.astype(jnp.float32))
+
+    timeit("full synthetic decode step", full, x0, ck, cv,
+           bytes_per_step=layer_bytes * L + head_bytes + cache_bytes)
+
+    # 6. int8 weights variant of (2): dequant fused into the matmul
+    q8 = lambda w: (w * 127).astype(jnp.int8)
+    wqkv8, wo8, w18, w28 = q8(wqkv), q8(wo), q8(w1), q8(w2)
+    whead8 = q8(whead)
+    sc = jnp.float32(1 / 127)
+
+    def weights_head_int8(x):
+        def mm(h, w8):
+            return jax.lax.dot_general(
+                h, w8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16) * sc
+        def step(_, x):
+            def body(i, h):
+                qkv = mm(h, wqkv8[i])
+                h = mm(qkv[:, :D], wo8[i])
+                h = mm(mm(h, w18[i]), w28[i])
+                return h
+            h = jax.lax.fori_loop(0, L, body, x)
+            return h + 1e-6 * jnp.tanh(mm(h, whead8)[:, :D])
+        out = jax.lax.fori_loop(0, STEPS, step, x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    timeit("weights + head, int8", weights_head_int8, x0,
+           bytes_per_step=(layer_bytes * L + head_bytes) // 2)
+
+
+if __name__ == "__main__":
+    main()

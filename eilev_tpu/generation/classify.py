@@ -25,6 +25,39 @@ from ..models.video_blip import VideoBlipForConditionalGeneration as VB
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
+def _encode_prompt_seq2seq(model: VB, variables, input_ids, attention_mask, pixel_values, video_input_mask):
+    inputs_embeds = model.apply(
+        variables, input_ids, pixel_values, video_input_mask, method=VB.embed_and_scatter
+    )
+    return model.apply(variables, inputs_embeds, attention_mask, method=VB.t5_encode)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _score_classes_seq2seq(
+    model: VB, variables, class_input_ids, class_attention_mask, encoder_hidden, encoder_mask
+):
+    """Seq2seq classify: score (C, L) class label sequences against the shared
+    encoder states (additive — the reference asserts decoder-only, v2.py:351)."""
+    from ..models.video_blip import shift_tokens_right
+
+    tcfg = model.config.text_config
+    dec_in = shift_tokens_right(class_input_ids, tcfg.pad_token_id, tcfg.decoder_start_token_id)
+    logits = model.apply(
+        variables, dec_in, class_attention_mask, encoder_hidden, encoder_mask,
+        method=VB.t5_score_classes,
+    )  # (B, C, L, vocab)
+    b = logits.shape[0]
+    c, l = class_input_ids.shape
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(
+        logp, jnp.broadcast_to(class_input_ids[None, :, :, None], (b, c, l, 1)), axis=-1
+    )[..., 0]
+    token_ll = token_ll * class_attention_mask[None].astype(jnp.float32)
+    lengths = jnp.maximum(class_attention_mask.sum(axis=-1)[None], 1)
+    return token_ll.sum(axis=-1) / lengths
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
 def _prefill_prompt(model: VB, variables, input_ids, attention_mask, pixel_values, video_input_mask):
     inputs_embeds = model.apply(
         variables, input_ids, pixel_values, video_input_mask, method=VB.embed_and_scatter
@@ -84,11 +117,30 @@ def classify(
     if class_attention_mask is None:
         class_attention_mask = jnp.ones_like(class_input_ids)
 
+    num_classes = class_input_ids.shape[0]
+
+    if not model.config.use_decoder_only_language_model:
+        # seq2seq: one encoder pass, classes attend the shared encoder states
+        encoder_hidden = _encode_prompt_seq2seq(
+            model, variables, prompt_input_ids, prompt_attention_mask,
+            pixel_values, prompt_video_input_mask,
+        )
+        step = class_batch_size or num_classes
+        chunks = [
+            _score_classes_seq2seq(
+                model, variables,
+                class_input_ids[i : i + step],
+                class_attention_mask[i : i + step],
+                encoder_hidden, prompt_attention_mask,
+            )
+            for i in range(0, num_classes, step)
+        ]
+        return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+
     last_logits, cache = _prefill_prompt(
         model, variables, prompt_input_ids, prompt_attention_mask, pixel_values, prompt_video_input_mask
     )
 
-    num_classes = class_input_ids.shape[0]
     if class_batch_size is None or class_batch_size >= num_classes:
         return _score_classes(
             model, variables, class_input_ids, class_attention_mask, last_logits, cache

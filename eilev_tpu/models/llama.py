@@ -118,7 +118,18 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin)
 
         new_kv = None
-        if cache_kv is not None:
+        if cache_kv is not None and len(cache_kv) == 3:
+            # stacked-buffer form: in-place row update (see models/opt.py)
+            k_buf, v_buf, li = cache_kv
+            k_buf = jax.lax.dynamic_update_slice(
+                k_buf, k[None].astype(k_buf.dtype), (li, 0, cache_index, 0, 0)
+            )
+            v_buf = jax.lax.dynamic_update_slice(
+                v_buf, v[None].astype(v_buf.dtype), (li, 0, cache_index, 0, 0)
+            )
+            new_kv = (k_buf, v_buf)
+            k, v = k_buf[li], v_buf[li]
+        elif cache_kv is not None:
             ck, cv = cache_kv
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
@@ -248,7 +259,6 @@ class LlamaForCausalLM(nn.Module):
                 position_ids = llama_position_ids(attention_mask)
             attn = {"causal": True, "padding_mask": attention_mask}
             cache_index = None
-            kv_slices: list[Optional[tuple[jax.Array, jax.Array]]] = [None] * cfg.num_hidden_layers
             new_cache = None
         else:
             index = cache["index"]
@@ -261,25 +271,23 @@ class LlamaForCausalLM(nn.Module):
             # see models/opt.py:316-321 for why causal is static here
             attn = {"causal": s > 1, "padding_mask": full_mask}
             cache_index = index
-            kv_slices = [(cache["k"][i], cache["v"][i]) for i in range(cfg.num_hidden_layers)]
             new_cache = {"index": index + s, "mask": full_mask, "pos": new_pos}
 
         cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
         x = inputs_embeds
 
-        new_ks, new_vs = [], []
+        k_buf = cache["k"] if cache is not None else None
+        v_buf = cache["v"] if cache is not None else None
         for i, layer in enumerate(self.layers):
-            x, new_kv = layer(
-                x, cos, sin, attn, cache_kv=kv_slices[i], cache_index=cache_index
-            )
+            ckv = (k_buf, v_buf, i) if cache is not None else None
+            x, new_kv = layer(x, cos, sin, attn, cache_kv=ckv, cache_index=cache_index)
             if new_kv is not None:
-                new_ks.append(new_kv[0])
-                new_vs.append(new_kv[1])
+                k_buf, v_buf = new_kv
 
         logits = self._head(x)
         if new_cache is not None:
-            new_cache["k"] = jnp.stack(new_ks)
-            new_cache["v"] = jnp.stack(new_vs)
+            new_cache["k"] = k_buf
+            new_cache["v"] = v_buf
         return logits, new_cache
 
 

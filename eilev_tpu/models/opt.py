@@ -82,9 +82,14 @@ class OPTAttention(nn.Module):
         self,
         hidden_states: jax.Array,
         attn: dict,
-        cache_kv: Optional[tuple[jax.Array, jax.Array]] = None,
+        cache_kv: Optional[tuple] = None,
         cache_index: Optional[jax.Array] = None,
-    ) -> tuple[jax.Array, Optional[tuple[jax.Array, jax.Array]]]:
+    ) -> tuple[jax.Array, Optional[tuple]]:
+        """``cache_kv`` is either (k, v) per-layer buffers of shape
+        (B, L, H, hd), or (k_buf, v_buf, layer_idx) STACKED buffers of shape
+        (num_layers, B, L, H, hd) updated in place with one dynamic_update_slice
+        — the stacked form avoids the slice+restack full-cache copy per decode
+        step (the carried buffer aliases in place under the while_loop)."""
         cfg = self.config
         b, s, d = hidden_states.shape
         nh, hd = cfg.num_attention_heads, cfg.head_dim
@@ -93,7 +98,17 @@ class OPTAttention(nn.Module):
         v = self.v_proj(hidden_states).reshape(b, s, nh, hd)
 
         new_kv = None
-        if cache_kv is not None:
+        if cache_kv is not None and len(cache_kv) == 3:
+            k_buf, v_buf, li = cache_kv
+            k_buf = jax.lax.dynamic_update_slice(
+                k_buf, k[None].astype(k_buf.dtype), (li, 0, cache_index, 0, 0)
+            )
+            v_buf = jax.lax.dynamic_update_slice(
+                v_buf, v[None].astype(v_buf.dtype), (li, 0, cache_index, 0, 0)
+            )
+            new_kv = (k_buf, v_buf)
+            k, v = k_buf[li], v_buf[li]
+        elif cache_kv is not None:
             ck, cv = cache_kv
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
@@ -306,7 +321,6 @@ class OPTForCausalLM(nn.Module):
                 position_ids = opt_position_ids(attention_mask)
             attn = {"causal": True, "padding_mask": attention_mask}
             cache_index = None
-            kv_slices: list[Optional[tuple[jax.Array, jax.Array]]] = [None] * cfg.num_hidden_layers
             new_cache = None
         else:
             index = cache["index"]
@@ -322,7 +336,6 @@ class OPTForCausalLM(nn.Module):
             # attend everything filled).
             attn = {"causal": s > 1, "padding_mask": full_mask}
             cache_index = index
-            kv_slices = [(cache["k"][i], cache["v"][i]) for i in range(cfg.num_hidden_layers)]
             new_cache = {"index": index + s, "mask": full_mask, "pos": new_pos}
 
         pos_embeds = self.embed_positions(position_ids + 2)
@@ -332,20 +345,23 @@ class OPTForCausalLM(nn.Module):
         x = x + pos_embeds
         x = self.embed_dropout(x, deterministic=deterministic)
 
-        new_ks, new_vs = [], []
+        # stacked-buffer cache threading: each layer dynamic-update-slices its
+        # row of the (L, B, S, H, hd) buffers in place (no slice+restack copy)
+        k_buf = cache["k"] if cache is not None else None
+        v_buf = cache["v"] if cache is not None else None
         for i, layer in enumerate(self.layers):
+            ckv = (k_buf, v_buf, i) if cache is not None else None
             x, new_kv = layer(
-                x, attn, cache_kv=kv_slices[i], cache_index=cache_index,
+                x, attn, cache_kv=ckv, cache_index=cache_index,
                 deterministic=deterministic,
             )
             if new_kv is not None:
-                new_ks.append(new_kv[0])
-                new_vs.append(new_kv[1])
+                k_buf, v_buf = new_kv
 
         logits = self._head(x)
         if new_cache is not None:
-            new_cache["k"] = jnp.stack(new_ks)
-            new_cache["v"] = jnp.stack(new_vs)
+            new_cache["k"] = k_buf
+            new_cache["v"] = v_buf
         return logits, new_cache
 
     def score_with_prefix(

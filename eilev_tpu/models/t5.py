@@ -117,7 +117,18 @@ class T5Attention(nn.Module):
         k = self.k(kv_in).reshape(b, kv_in.shape[1], nh, hd)
         v = self.v(kv_in).reshape(b, kv_in.shape[1], nh, hd)
         new_kv = None
-        if cache_kv is not None:
+        if cache_kv is not None and len(cache_kv) == 3:
+            # stacked-buffer form: in-place row update (see models/opt.py)
+            k_buf, v_buf, li = cache_kv
+            k_buf = jax.lax.dynamic_update_slice(
+                k_buf, k[None].astype(k_buf.dtype), (li, 0, cache_index, 0, 0)
+            )
+            v_buf = jax.lax.dynamic_update_slice(
+                v_buf, v[None].astype(v_buf.dtype), (li, 0, cache_index, 0, 0)
+            )
+            new_kv = (k_buf, v_buf)
+            k, v = k_buf[li], v_buf[li]
+        elif cache_kv is not None:
             ck, cv = cache_kv
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
@@ -132,6 +143,35 @@ class T5Attention(nn.Module):
         k = self.k(encoder_hidden).reshape(b, l, cfg.num_heads, cfg.d_kv)
         v = self.v(encoder_hidden).reshape(b, l, cfg.num_heads, cfg.d_kv)
         return k, v
+
+    def self_classes(self, hidden: jax.Array, bias: jax.Array) -> jax.Array:
+        """Causal self-attention within (B, C, L) class continuations.
+        ``bias`` broadcastable to (B, C, H, L, L); no scaling (T5)."""
+        cfg = self.config
+        b, c, l, _ = hidden.shape
+        nh, hd = cfg.num_heads, cfg.d_kv
+        q = self.q(hidden).reshape(b, c, l, nh, hd)
+        k = self.k(hidden).reshape(b, c, l, nh, hd)
+        v = self.v(hidden).reshape(b, c, l, nh, hd)
+        scores = jnp.einsum("bclhd,bcmhd->bchlm", q, k) + bias.astype(q.dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bchlm,bcmhd->bclhd", probs, v)
+        return self.o(ctx.reshape(b, c, l, cfg.inner_dim))
+
+    def cross_classes(
+        self, hidden: jax.Array, k: jax.Array, v: jax.Array, enc_bias: jax.Array
+    ) -> jax.Array:
+        """(B, C, L) class queries over the SHARED (B, S) encoder K/V — the
+        encoder states are never duplicated across classes (the seq2seq analogue
+        of OPTAttention.shared_prefix)."""
+        cfg = self.config
+        b, c, l, _ = hidden.shape
+        nh, hd = cfg.num_heads, cfg.d_kv
+        q = self.q(hidden).reshape(b, c, l, nh, hd)
+        scores = jnp.einsum("bclhd,bshd->bchls", q, k) + enc_bias.astype(q.dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bchls,bshd->bclhd", probs, v)
+        return self.o(ctx.reshape(b, c, l, cfg.inner_dim))
 
     def cross_attend(
         self, hidden_states: jax.Array, k: jax.Array, v: jax.Array,
@@ -199,6 +239,9 @@ class T5SelfAttentionLayer(nn.Module):
         out, new_kv = self.attention(h, attn=attn, cache_kv=cache_kv, cache_index=cache_index)
         return x + self.dropout(out, deterministic=deterministic), new_kv
 
+    def classes(self, x, bias):
+        return x + self.attention.self_classes(self.layer_norm(x), bias)
+
 
 class T5CrossAttentionLayer(nn.Module):
     config: T5Config
@@ -213,6 +256,9 @@ class T5CrossAttentionLayer(nn.Module):
         h = self.layer_norm(x)
         out = self.attention.cross_attend(h, k, v, padding_mask)
         return x + self.dropout(out, deterministic=deterministic)
+
+    def classes(self, x, k, v, enc_bias):
+        return x + self.attention.cross_classes(self.layer_norm(x), k, v, enc_bias)
 
     def kv(self, encoder_hidden):
         return self.attention.cross_kv(encoder_hidden)
@@ -264,6 +310,11 @@ class T5DecoderLayer(nn.Module):
             x, cross_k, cross_v, padding_mask=cross_padding_mask, deterministic=deterministic
         )
         return self.ff(x, deterministic=deterministic), new_kv
+
+    def classes(self, x, self_bias, cross_k, cross_v, enc_bias):
+        x = self.self_attention.classes(x, self_bias)
+        x = self.cross_attention.classes(x, cross_k, cross_v, enc_bias)
+        return self.ff(x)
 
 
 class T5Encoder(nn.Module):
@@ -327,7 +378,6 @@ class T5Decoder(nn.Module):
                 "padding_mask": decoder_attention_mask,
             }
             cache_index = None
-            kv_slices: list = [None] * len(self.layers)
             cross = [layer.cross_attention.kv(encoder_hidden) for layer in self.layers]
             new_cache = None
         else:
@@ -344,27 +394,27 @@ class T5Decoder(nn.Module):
                 "padding_mask": filled,
             }
             cache_index = index
-            kv_slices = [(cache["k"][i], cache["v"][i]) for i in range(len(self.layers))]
             cross = [(cache["cross_k"][i], cache["cross_v"][i]) for i in range(len(self.layers))]
             new_cache = dict(cache)
             new_cache["index"] = index + s
 
         x = self.dropout(inputs_embeds, deterministic=deterministic)
-        new_ks, new_vs = [], []
+        k_buf = cache["k"] if cache is not None else None
+        v_buf = cache["v"] if cache is not None else None
         for i, layer in enumerate(self.layers):
             ck, cv = cross[i]
+            ckv = (k_buf, v_buf, i) if cache is not None else None
             x, new_kv = layer(
                 x, self_attn, ck, cv, encoder_attention_mask,
-                cache_kv=kv_slices[i], cache_index=cache_index,
+                cache_kv=ckv, cache_index=cache_index,
                 deterministic=deterministic,
             )
             if new_kv is not None:
-                new_ks.append(new_kv[0])
-                new_vs.append(new_kv[1])
+                k_buf, v_buf = new_kv
         x = self.dropout(self.final_layer_norm(x), deterministic=deterministic)
         if new_cache is not None:
-            new_cache["k"] = jnp.stack(new_ks)
-            new_cache["v"] = jnp.stack(new_vs)
+            new_cache["k"] = k_buf
+            new_cache["v"] = v_buf
         return x, new_cache
 
     def make_cross_kv(self, encoder_hidden: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -374,6 +424,39 @@ class T5Decoder(nn.Module):
             ks.append(k)
             vs.append(v)
         return jnp.stack(ks), jnp.stack(vs)
+
+    def score_classes(
+        self,
+        class_embeds: jax.Array,
+        class_attention_mask: jax.Array,
+        encoder_hidden: jax.Array,
+        encoder_attention_mask: Optional[jax.Array],
+    ) -> jax.Array:
+        """Run (B, C, L) class continuations against the SHARED (B, S) encoder
+        states (classify for seq2seq; the reference supports decoder-only LMs
+        only, /root/reference/eilev/model/v2.py:351 — this is additive)."""
+        from ..ops.attention import make_causal_bias, mask_to_bias
+
+        b, c, l, _ = class_embeds.shape
+        rel = self.layers[0].self_attention.attention
+        cls_mask = class_attention_mask.astype(bool)  # (B, C, L) or (C, L)
+        if cls_mask.ndim == 2:
+            cls_mask = jnp.broadcast_to(cls_mask[None], (b, c, l))
+        self_bias = (
+            rel.compute_bias(l, l)[None].astype(jnp.float32)  # (1, 1, H, L, L)
+            + make_causal_bias(l, l, dtype=jnp.float32)[None]
+            + mask_to_bias(cls_mask)[:, :, None, None, :]
+        )
+        if encoder_attention_mask is not None:
+            enc_bias = mask_to_bias(encoder_attention_mask.astype(bool))[:, None, None, None, :]
+        else:
+            enc_bias = jnp.zeros((b, 1, 1, 1, encoder_hidden.shape[1]), jnp.float32)
+
+        x = class_embeds
+        for layer in self.layers:
+            ck, cv = layer.cross_attention.kv(encoder_hidden)
+            x = layer.classes(x, self_bias, ck, cv, enc_bias)
+        return self.final_layer_norm(x)
 
 
 class T5ForConditionalGeneration(nn.Module):
@@ -434,6 +517,25 @@ class T5ForConditionalGeneration(nn.Module):
             "cross_v": cross_v,
             "index": jnp.zeros((), jnp.int32),
         }
+
+    def score_classes(
+        self,
+        class_decoder_ids: jax.Array,
+        class_attention_mask: jax.Array,
+        encoder_hidden: jax.Array,
+        encoder_attention_mask: Optional[jax.Array],
+    ) -> jax.Array:
+        """(B, C, L, vocab) logits for class continuations over shared encoder
+        states. ``class_decoder_ids`` are already shift-righted."""
+        b = encoder_hidden.shape[0]
+        c, l = class_decoder_ids.shape[-2:]
+        emb = self.shared(class_decoder_ids)
+        if emb.ndim == 3:  # (C, L, D) shared across the batch
+            emb = jnp.broadcast_to(emb[None], (b, c, l, emb.shape[-1]))
+        hidden = self.decoder.score_classes(
+            emb, class_attention_mask, encoder_hidden, encoder_attention_mask
+        )
+        return self._head(hidden)
 
     def decode_step(
         self,

@@ -186,6 +186,13 @@ class VideoBlipForConditionalGeneration(nn.Module):
             decoder_input_ids, encoder_hidden, encoder_attention_mask, cache
         )
 
+    def t5_score_classes(
+        self, class_decoder_ids, class_attention_mask, encoder_hidden, encoder_attention_mask
+    ):
+        return self.language_model.score_classes(
+            class_decoder_ids, class_attention_mask, encoder_hidden, encoder_attention_mask
+        )
+
 
 def masked_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean CE over positions where labels != -100 (HF convention)."""

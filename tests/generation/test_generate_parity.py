@@ -314,3 +314,73 @@ def test_t5_beam_token_identical():
     )
     n = min(ref.shape[1], ours.shape[1])
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+def test_classify_seq2seq_matches_full_forward():
+    """Seq2seq classify (additive: the reference asserts decoder-only,
+    v2.py:351): shared-encoder class scoring == the HF-parity-tested full
+    forward run one class at a time."""
+    model, cfg, params = make_oracle("t5")
+    rng = np.random.default_rng(13)
+    b, t, s = 2, 2, 12
+    img = cfg.vision_config.image_size
+    pixel = rng.normal(size=(b, 3, t, img, img)).astype(np.float32)
+    ids = rng.integers(4, cfg.text_config.vocab_size, size=(b, s))
+    mask = np.ones((b, s), np.int64)
+    mask[0, :2] = 0  # encoder-side padding
+    vim = np.zeros((b, s), np.int64)
+    vim[:, 2 : 2 + cfg.num_query_tokens] = 1
+
+    c, l = 4, 3
+    class_ids = rng.integers(4, cfg.text_config.vocab_size, size=(c, l))
+    class_mask = np.ones((c, l), np.int64)
+    class_mask[2, 2] = 0
+    class_ids[2, 2] = cfg.text_config.pad_token_id
+
+    m = VideoBlipForConditionalGeneration(cfg)
+    ll = np.asarray(
+        classify(
+            m,
+            {"params": params},
+            prompt_input_ids=jnp.asarray(ids),
+            class_input_ids=jnp.asarray(class_ids),
+            prompt_attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            prompt_video_input_mask=jnp.asarray(vim),
+            class_attention_mask=jnp.asarray(class_mask),
+        )
+    )
+    assert ll.shape == (b, c)
+
+    ll_chunked = np.asarray(
+        classify(
+            m,
+            {"params": params},
+            prompt_input_ids=jnp.asarray(ids),
+            class_input_ids=jnp.asarray(class_ids),
+            prompt_attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            prompt_video_input_mask=jnp.asarray(vim),
+            class_attention_mask=jnp.asarray(class_mask),
+            class_batch_size=3,
+        )
+    )
+    np.testing.assert_allclose(ll, ll_chunked, atol=1e-5, rtol=1e-5)
+
+    for ci in range(c):
+        clen = int(class_mask[ci].sum())
+        labels = np.tile(class_ids[ci][None], (b, 1))
+        out = m.apply(
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            video_input_mask=jnp.asarray(vim),
+            labels=jnp.asarray(labels),
+            decoder_attention_mask=jnp.asarray(np.tile(class_mask[ci][None], (b, 1))),
+        )
+        logits = np.asarray(out["logits"]).astype(np.float64)
+        logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+        for bi in range(b):
+            total = sum(logp[bi, ti, class_ids[ci, ti]] for ti in range(clen))
+            np.testing.assert_allclose(ll[bi, ci], total / clen, atol=2e-4, rtol=2e-4)
