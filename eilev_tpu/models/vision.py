@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import VisionConfig
-from ..ops.attention import dot_product_attention
+from ..ops.attention import packed_qkv_self_attention
 
 
 class VisionEmbeddings(nn.Module):
@@ -75,10 +75,10 @@ class VisionAttention(nn.Module):
         qkv = nn.Dense(
             3 * d, use_bias=cfg.qkv_bias, dtype=self.dtype, name="qkv"
         )(hidden_states)
-        qkv = qkv.reshape(b, s, 3, nh, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v, scale=hd**-0.5)
-        out = out.reshape(b, s, d)
+        # Mask-free self-attention straight off the packed QKV output: the
+        # fused TPU kernel extracts heads in VMEM (head_dim 88 is not
+        # 128-lane aligned, so any HBM relayout would be lane-shuffle bound).
+        out = packed_qkv_self_attention(qkv, nh, hd, scale=hd**-0.5)
         return nn.Dense(d, dtype=self.dtype, name="projection")(out)
 
 

@@ -35,9 +35,9 @@ _FLASH_MIN_KV = 2048
 
 
 def set_default_attention_impl(impl: str) -> None:
-    """Set the global attention implementation: 'auto' | 'xla' | 'flash'."""
+    """Set the global attention implementation: 'auto' | 'xla' | 'flash' | 'fused'."""
     global _DEFAULT_IMPL
-    assert impl in ("auto", "xla", "flash"), impl
+    assert impl in ("auto", "xla", "flash", "fused"), impl
     _DEFAULT_IMPL = impl
 
 
@@ -47,6 +47,38 @@ def get_default_attention_impl() -> str:
 
 def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
+
+
+def packed_qkv_self_attention(
+    qkv: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    *,
+    scale: Optional[float] = None,
+    implementation: Optional[str] = None,
+) -> jax.Array:
+    """Mask-free self-attention straight off a packed (B, S, 3*H*D) QKV tensor.
+
+    The ViT hot path (all tokens valid, no causal/padding masks). On TPU the
+    fused Pallas kernel (ops/fused_attention.py) consumes the packed layout
+    directly — the per-head lane extraction happens in VMEM, which beats both
+    XLA's HBM-materialized scores and any host-side (B,S,H,D)->(B,H,S,D)
+    relayout (head_dim 88/80/64 crosses the 128-lane tile boundary). Off-TPU
+    (CPU tests) this falls back to the einsum path; ``implementation='fused'``
+    forces the kernel in interpret mode for kernel-correctness tests.
+    """
+    from .fused_attention import _xla_packed_fallback, packed_qkv_attention
+
+    impl = implementation or _DEFAULT_IMPL
+    if scale is None:
+        scale = head_dim**-0.5
+    if impl in ("auto", "flash", "fused") and _on_tpu():
+        return packed_qkv_attention(qkv, num_heads, head_dim, scale=scale)
+    if impl == "fused":  # explicit request off-TPU: interpreter (tests)
+        return packed_qkv_attention(
+            qkv, num_heads, head_dim, scale=scale, interpret=True
+        )
+    return _xla_packed_fallback(qkv, num_heads, head_dim, scale)
 
 
 def dot_product_attention(
