@@ -39,18 +39,26 @@ def timeit(name, fn, *args, bytes_per_step=None):
 
 
 def main():
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 8)
-    s = 0.02
-    # per-layer stacked weights, like the real model's HBM footprint
-    wqkv = jax.random.normal(ks[0], (L, D, 3 * D), jnp.bfloat16) * s
-    wo = jax.random.normal(ks[1], (L, D, D), jnp.bfloat16) * s
-    w1 = jax.random.normal(ks[2], (L, D, FFN), jnp.bfloat16) * s
-    w2 = jax.random.normal(ks[3], (L, FFN, D), jnp.bfloat16) * s
-    whead = jax.random.normal(ks[4], (D, VOCAB), jnp.bfloat16) * s
-    x0 = jax.random.normal(ks[5], (B, D), jnp.bfloat16)
-    ck = jax.random.normal(ks[6], (L, B, CACHE_LEN, NH, HD), jnp.bfloat16)
-    cv = jax.random.normal(ks[7], (L, B, CACHE_LEN, NH, HD), jnp.bfloat16)
+    # generate ALL buffers inside one jitted program (eager per-array creation
+    # materializes fp32 intermediates host-side on the axon platform - a ~30 GB
+    # RSS and a multi-minute tunnel stall)
+    @jax.jit
+    def make_all(key):
+        ks = jax.random.split(key, 8)
+        s = jnp.bfloat16(0.02)
+        return (
+            jax.random.normal(ks[0], (L, D, 3 * D), jnp.bfloat16) * s,
+            jax.random.normal(ks[1], (L, D, D), jnp.bfloat16) * s,
+            jax.random.normal(ks[2], (L, D, FFN), jnp.bfloat16) * s,
+            jax.random.normal(ks[3], (L, FFN, D), jnp.bfloat16) * s,
+            jax.random.normal(ks[4], (D, VOCAB), jnp.bfloat16) * s,
+            jax.random.normal(ks[5], (B, D), jnp.bfloat16),
+            jax.random.normal(ks[6], (L, B, CACHE_LEN, NH, HD), jnp.bfloat16),
+            jax.random.normal(ks[7], (L, B, CACHE_LEN, NH, HD), jnp.bfloat16),
+        )
+
+    wqkv, wo, w1, w2, whead, x0, ck, cv = make_all(jax.random.PRNGKey(0))
+    jax.block_until_ready(cv)
 
     layer_bytes = 2 * (wqkv.size // L + wo.size // L + w1.size // L + w2.size // L)
     head_bytes = 2 * whead.size
