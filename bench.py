@@ -209,6 +209,44 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         single = float(np.median(ts))
 
+    # optional: the OPT-IN int8 weight-only serving mode (ops/quantization.py);
+    # not the headline because the north star is bf16-parity greedy output
+    int8_vps = None
+    if os.environ.get("BENCH_INT8", "0") == "1":
+        import dataclasses
+
+        from eilev_tpu.ops.quantization import quantize_lm_params
+
+        qcfg = configs.replace(
+            cfg, text_config=dataclasses.replace(cfg.text_config, quantize_matmuls=True)
+        )
+        qmodel = VideoBlipForConditionalGeneration(qcfg, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def quantize(params):
+            p = dict(params)
+            p["language_model"] = quantize_lm_params(p["language_model"])
+            return p
+
+        qvariables = {"params": quantize(params)}
+
+        @jax.jit
+        def full_step_int8(variables, pixel_u8):
+            pixel = process_videos(pixel_u8, dtype=jnp.bfloat16)
+            embeds = qmodel.apply(variables, ids_d, pixel, vim_d, method=VB.embed_and_scatter)
+            return _greedy_sample_decoder_only(qmodel, variables, embeds, mask_d, gen_cfg, rng)
+
+        np.asarray(full_step_int8(qvariables, pixel_dev[0]))  # compile
+        t0 = time.perf_counter()
+        pending = []
+        for i in range(n_pipe):
+            pending.append(full_step_int8(qvariables, pixel_dev[i % 2]))
+            if len(pending) >= 2:
+                np.asarray(pending.pop(0))
+        while pending:
+            np.asarray(pending.pop(0))
+        int8_vps = n_pipe * v / (time.perf_counter() - t0)
+
     out = {
         # vs_baseline is ESTIMATE-derived: the reference publishes no
         # machine-readable throughput (see module docstring)
@@ -225,6 +263,8 @@ def main() -> None:
     }
     if single is not None:
         out["single_stream_latency_sec"] = round(single, 4)
+    if int8_vps is not None:
+        out["videos_per_sec_int8_lm"] = round(int8_vps, 3)
     print(json.dumps(out))
 
 

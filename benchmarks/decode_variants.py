@@ -38,6 +38,7 @@ def timeit(name, fn, *args, bytes_per_step=None):
     return med
 
 
+
 def main():
     # generate ALL buffers inside one jitted program (eager per-array creation
     # materializes fp32 intermediates host-side on the axon platform - a ~30 GB
@@ -57,15 +58,20 @@ def main():
             jax.random.normal(ks[7], (L, B, CACHE_LEN, NH, HD), jnp.bfloat16),
         )
 
-    wqkv, wo, w1, w2, whead, x0, ck, cv = make_all(jax.random.PRNGKey(0))
-    jax.block_until_ready(cv)
+    W = make_all(jax.random.PRNGKey(0))
+    jax.block_until_ready(W)
+    wqkv, wo, w1, w2, whead, x0, ck, cv = W
 
     layer_bytes = 2 * (wqkv.size // L + wo.size // L + w1.size // L + w2.size // L)
     head_bytes = 2 * whead.size
     cache_bytes = 2 * (ck.size + cv.size) // L * L  # read k+v fully
 
+    # weights pass as jit ARGUMENTS (closure capture would bake 5 GB of
+    # constants into the lowered HLO and stall compilation for minutes)
+
     # 1. pure weight streaming: all layer matmuls, no attention
-    def weights_only(x):
+    def weights_only(W):
+        wqkv, wo, w1, w2, whead, x0, ck, cv = W
         def step(_, x):
             def body(i, h):
                 qkv = h @ wqkv[i]
@@ -73,14 +79,15 @@ def main():
                 h = (h @ w1[i]) @ w2[i]
                 return h
             return jax.lax.fori_loop(0, L, body, x)
-        out = jax.lax.fori_loop(0, STEPS, step, x)
+        out = jax.lax.fori_loop(0, STEPS, step, x0)
         return jnp.sum(out.astype(jnp.float32))
 
-    timeit("weights only (qkv+o+ffn x32L)", weights_only, x0,
+    timeit("weights only (qkv+o+ffn x32L)", weights_only, W,
            bytes_per_step=layer_bytes * L)
 
     # 2. + lm head
-    def weights_head(x):
+    def weights_head(W):
+        wqkv, wo, w1, w2, whead, x0, ck, cv = W
         def step(_, x):
             def body(i, h):
                 qkv = h @ wqkv[i]
@@ -89,14 +96,15 @@ def main():
                 return h
             h = jax.lax.fori_loop(0, L, body, x)
             return h + 1e-6 * jnp.tanh((h @ whead)[:, :D])
-        out = jax.lax.fori_loop(0, STEPS, step, x)
+        out = jax.lax.fori_loop(0, STEPS, step, x0)
         return jnp.sum(out.astype(jnp.float32))
 
-    timeit("weights + lm head", weights_head, x0,
+    timeit("weights + lm head", weights_head, W,
            bytes_per_step=layer_bytes * L + head_bytes)
 
     # 3. cache attention only (read full k/v per layer)
-    def cache_attn(x):
+    def cache_attn(W):
+        wqkv, wo, w1, w2, whead, x0, ck, cv = W
         def step(t, x):
             def body(i, h):
                 q = h.reshape(B, 1, NH, HD)
@@ -105,13 +113,68 @@ def main():
                 o = jnp.einsum("bhsl,blhd->bshd", p, cv[i])
                 return h + o.reshape(B, D)
             return jax.lax.fori_loop(0, L, body, x)
-        out = jax.lax.fori_loop(0, STEPS, step, x)
+        out = jax.lax.fori_loop(0, STEPS, step, x0)
         return jnp.sum(out.astype(jnp.float32))
 
-    timeit("cache attention only", cache_attn, x0, bytes_per_step=cache_bytes)
+    timeit("cache attention only", cache_attn, W, bytes_per_step=cache_bytes)
+
+    # 3b. cache attention, head-major (L, B, NH, CACHE, HD) layout: each head's
+    # keys are contiguous, so the per-head q.k gemv streams instead of striding
+    # over NH*HD
+    @jax.jit
+    def to_head_major(ck, cv):
+        return (jnp.transpose(ck, (0, 1, 3, 2, 4)).copy(),
+                jnp.transpose(cv, (0, 1, 3, 2, 4)).copy())
+
+    ckh, cvh = to_head_major(ck, cv)
+    jax.block_until_ready(cvh)
+
+    def cache_attn_headmajor(args):
+        x0, ckh, cvh = args
+        def step(t, x):
+            def body(i, h):
+                q = h.reshape(B, NH, 1, HD)
+                scores = jnp.einsum("bhsd,bhld->bhsl", q, ckh[i])
+                p = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(h.dtype)
+                o = jnp.einsum("bhsl,bhld->bhsd", p, cvh[i])
+                return h + o.reshape(B, D)
+            return jax.lax.fori_loop(0, L, body, x)
+        out = jax.lax.fori_loop(0, STEPS, step, x0)
+        return jnp.sum(out.astype(jnp.float32))
+
+    timeit("cache attention, head-major layout", cache_attn_headmajor,
+           (x0, ckh, cvh), bytes_per_step=cache_bytes)
+
+    # 3c. cache attention, flattened (L, B, CACHE, NH*HD) "matmul" form: scores
+    # via one (B, 1, D) x (B, CACHE, D) batched matmul per layer - wrong math
+    # across heads mixes nothing here (random data), we only time the ACCESS
+    # pattern of a fully-lane-contiguous read
+    @jax.jit
+    def to_flat(ck, cv):
+        return (ck.reshape(L, B, CACHE_LEN, NH * HD).copy(),
+                cv.reshape(L, B, CACHE_LEN, NH * HD).copy())
+
+    ckf, cvf = to_flat(ck, cv)
+    jax.block_until_ready(cvf)
+
+    def cache_attn_flat(args):
+        x0, ckf, cvf = args
+        def step(t, x):
+            def body(i, h):
+                scores = jnp.einsum("bd,bld->bl", h, ckf[i])
+                p = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(h.dtype)
+                o = jnp.einsum("bl,bld->bd", p, cvf[i])
+                return h + o
+            return jax.lax.fori_loop(0, L, body, x)
+        out = jax.lax.fori_loop(0, STEPS, step, x0)
+        return jnp.sum(out.astype(jnp.float32))
+
+    timeit("cache read, fully-contiguous upper bound", cache_attn_flat,
+           (x0, ckf, cvf), bytes_per_step=cache_bytes)
 
     # 4. cache update only (DUS chain like the model)
-    def cache_update(x, ck, cv):
+    def cache_update(W):
+        wqkv, wo, w1, w2, whead, x0, ck, cv = W
         def step(t, carry):
             x, ck, cv = carry
             def body(i, c):
@@ -122,13 +185,14 @@ def main():
                 return ck, cv
             ck, cv = jax.lax.fori_loop(0, L, body, (ck, cv))
             return x, ck, cv
-        _, ck, cv = jax.lax.fori_loop(0, STEPS, step, (x, ck, cv))
+        _, ck, cv = jax.lax.fori_loop(0, STEPS, step, (x0, ck, cv))
         return jnp.sum(ck[0, 0, 0].astype(jnp.float32))
 
-    timeit("cache DUS update only", cache_update, x0, ck, cv)
+    timeit("cache DUS update only", cache_update, W)
 
     # 5. everything together (weights + head + attention + update)
-    def full(x, ck, cv):
+    def full(W):
+        wqkv, wo, w1, w2, whead, x0, ck, cv = W
         def step(t, carry):
             x, ck, cv = carry
             def body(i, c):
@@ -148,24 +212,32 @@ def main():
             h, ck, cv = jax.lax.fori_loop(0, L, body, (x, ck, cv))
             h = h + 1e-6 * jnp.tanh((h @ whead)[:, :D])
             return h, ck, cv
-        x, ck, cv = jax.lax.fori_loop(0, STEPS, step, (x, ck, cv))
+        x, ck, cv = jax.lax.fori_loop(0, STEPS, step, (x0, ck, cv))
         return jnp.sum(x.astype(jnp.float32))
 
-    timeit("full synthetic decode step", full, x0, ck, cv,
+    timeit("full synthetic decode step", full, W,
            bytes_per_step=layer_bytes * L + head_bytes + cache_bytes)
 
     # 6. int8 weights variant of (2): dequant fused into the matmul
-    q8 = lambda w: (w * 127).astype(jnp.int8)
-    wqkv8, wo8, w18, w28 = q8(wqkv), q8(wo), q8(w1), q8(w2)
-    whead8 = q8(whead)
+    @jax.jit
+    def quantize(W):
+        wqkv, wo, w1, w2, whead = W[:5]
+        q8 = lambda w: (w * 127).astype(jnp.int8)
+        return q8(wqkv), q8(wo), q8(w1), q8(w2), q8(whead)
+
+    W8 = quantize(W)
     sc = jnp.float32(1 / 127)
 
-    def weights_head_int8(x):
+    def weights_head_int8(W8, x0):
+        wqkv8, wo8, w18, w28, whead8 = W8
         def mm(h, w8):
-            return jax.lax.dot_general(
-                h, w8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16) * sc
+            return (
+                jax.lax.dot_general(
+                    h, w8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * sc
+            ).astype(jnp.bfloat16)
         def step(_, x):
             def body(i, h):
                 qkv = mm(h, wqkv8[i])
@@ -174,10 +246,10 @@ def main():
                 return h
             h = jax.lax.fori_loop(0, L, body, x)
             return h + 1e-6 * jnp.tanh(mm(h, whead8)[:, :D])
-        out = jax.lax.fori_loop(0, STEPS, step, x)
+        out = jax.lax.fori_loop(0, STEPS, step, x0)
         return jnp.sum(out.astype(jnp.float32))
 
-    timeit("weights + head, int8", weights_head_int8, x0,
+    timeit("weights + head, int8", weights_head_int8, W8, x0,
            bytes_per_step=(layer_bytes * L + head_bytes) // 2)
 
 

@@ -107,8 +107,54 @@ class EilevChat:
         self.add_text(reply)
         return reply
 
+    def respond_stream(self, user_text: str):
+        """Greedy streaming variant of :meth:`respond`: yields text deltas as
+        token chunks arrive (beam search cannot stream, so this path trades
+        the demo's beam-5 for incremental display)."""
+        import jax.numpy as jnp
 
-def run_terminal(chat: EilevChat) -> None:
+        from eilev_tpu.configs import OPTConfig
+        from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
+        from eilev_tpu.generation import GenerationConfig, generate_stream
+        from eilev_tpu.ops.preprocess import process_videos
+
+        if user_text.strip():
+            self.add_text(user_text.strip())
+        inputs = generate_input_ids_and_labels_from_interleaved(
+            self.tokenizer,
+            self.prompts,
+            None,
+            self.config.num_query_tokens,
+            self.config.use_decoder_only_language_model,
+        )
+        gen_cfg = GenerationConfig(max_new_tokens=32, pad_token_id=self.tokenizer.pad_token_id)
+        if isinstance(self.config.text_config, OPTConfig):
+            gen_cfg = gen_cfg.with_eos(50118)
+        kwargs = {}
+        if self.videos:
+            img = self.config.vision_config.image_size
+            kwargs["pixel_values"] = process_videos(
+                jnp.asarray(np.stack(self.videos)), height=img, width=img, dtype=self.dtype
+            )
+            kwargs["video_input_mask"] = jnp.asarray(inputs["video_input_mask"])[None]
+        emitted: list[int] = []
+        shown = ""
+        for chunk in generate_stream(
+            self.model,
+            self.variables,
+            input_ids=jnp.asarray(inputs["input_ids"])[None],
+            generation_config=gen_cfg,
+            **kwargs,
+        ):
+            emitted.extend(int(t) for t in chunk[0] if t != gen_cfg.pad_token_id)
+            text = self.tokenizer.decode(emitted, skip_special_tokens=True)
+            if len(text) > len(shown):
+                yield text[len(shown):]
+                shown = text
+        self.add_text(shown.strip())
+
+
+def run_terminal(chat: EilevChat, stream: bool = False) -> None:
     print("EILeV chat (terminal mode). Commands: /video <path>, /reset, /quit")
     while True:
         try:
@@ -126,7 +172,12 @@ def run_terminal(chat: EilevChat) -> None:
         if line.startswith("/video "):
             print(chat.add_video(line[len("/video ") :].strip()))
             continue
-        print(chat.respond(line))
+        if stream:
+            for delta in chat.respond_stream(line):
+                print(delta, end="", flush=True)
+            print()
+        else:
+            print(chat.respond(line))
 
 
 def run_gradio(chat: EilevChat, share: bool) -> None:
@@ -165,12 +216,15 @@ def main() -> None:
     p.add_argument("--processor", default=None)
     p.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
     p.add_argument("--terminal", action="store_true", help="force terminal mode")
+    p.add_argument("--stream", action="store_true",
+                   help="terminal mode: stream tokens as they decode (greedy; "
+                        "beam search cannot stream)")
     p.add_argument("--share", action="store_true")
     args = p.parse_args()
 
     chat = EilevChat(args.model, args.processor, args.dtype)
-    if args.terminal:
-        run_terminal(chat)
+    if args.terminal or args.stream:
+        run_terminal(chat, stream=args.stream)
         return
     try:
         run_gradio(chat, args.share)

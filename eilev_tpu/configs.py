@@ -88,6 +88,9 @@ class OPTConfig:
     bos_token_id: int = 2
     eos_token_id: int = 2
     pad_token_id: int = 1
+    # OPT-IN int8 weight-only serving path (ops/quantization.py); off by
+    # default because the north star demands bf16-parity greedy output
+    quantize_matmuls: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -121,6 +124,8 @@ class LlamaConfig:
     bos_token_id: int = 1
     eos_token_id: int = 2
     pad_token_id: int = 0
+    # OPT-IN int8 weight-only serving path (ops/quantization.py)
+    quantize_matmuls: bool = False
 
     @property
     def head_dim(self) -> int:

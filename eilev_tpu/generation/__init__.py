@@ -1,5 +1,5 @@
 from .classify import classify
 from .config import GenerationConfig
-from .decoding import generate
+from .decoding import generate, generate_stream
 
-__all__ = ["GenerationConfig", "classify", "generate"]
+__all__ = ["GenerationConfig", "classify", "generate", "generate_stream"]

@@ -138,6 +138,116 @@ def _greedy_sample_decoder_only(
 
 
 # ---------------------------------------------------------------------------
+# streaming generation (decoder-only)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("model", "gen_cfg", "chunk"), donate_argnums=(2, 3))
+def _decode_chunk(
+    model: VB,
+    variables,
+    cache,
+    logits: jax.Array,
+    finished: jax.Array,
+    gen_cfg: GenerationConfig,
+    rng: jax.Array,
+    chunk: int,
+):
+    """Run up to ``chunk`` decode steps as one compiled scan.
+
+    The cache and last-step logits are DONATED: the ~GB KV buffers alias
+    in place across chunks instead of copying per yield, so streaming costs
+    one small (B, chunk) readback per chunk and nothing else.
+    """
+    b = logits.shape[0]
+
+    def body(carry, _):
+        cache, logits, finished, cur_rng = carry
+        cur_rng, step_rng = jax.random.split(cur_rng)
+        tok = _select_token(logits, gen_cfg, step_rng)
+        tok = jnp.where(finished, gen_cfg.pad_token_id, tok)
+        new_finished = finished | _is_eos(tok, gen_cfg)
+        embeds = model.apply(variables, tok[:, None], method=VB.lm_embed)
+        next_logits, cache = model.apply(
+            variables,
+            embeds,
+            attention_mask=jnp.ones((b, 1), jnp.int32),
+            cache=cache,
+            method=VB.lm_forward,
+        )
+        return (cache, next_logits[:, -1], new_finished, cur_rng), tok
+
+    (cache, logits, finished, rng), toks = jax.lax.scan(
+        body, (cache, logits, finished, rng), None, length=chunk
+    )
+    return cache, logits, finished, rng, toks.T  # (B, chunk)
+
+
+def generate_stream(
+    model: VB,
+    variables,
+    *,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    pixel_values: Optional[jax.Array] = None,
+    video_input_mask: Optional[jax.Array] = None,
+    generation_config: GenerationConfig = GenerationConfig(),
+    rng: Optional[jax.Array] = None,
+    chunk_tokens: int = 4,
+):
+    """Stream greedy/sampled tokens in chunks of ``chunk_tokens``.
+
+    Yields (B, <=chunk_tokens) numpy int32 arrays of NEW tokens (pad-filled
+    after each row's eos) until every row finishes or the budget runs out.
+    The concatenated stream is token-identical to :func:`generate` (same
+    compiled step; tested by tests/generation/test_streaming.py). Serves the
+    demos' incremental display — the reference has no streaming equivalent
+    (its gradio demo blocks on a full ``generate``, reference
+    ``demo/app.py``); decoder-only LMs only, beam search cannot stream.
+    """
+    cfg: VideoBlipConfig = model.config
+    if not isinstance(cfg.text_config, OPTConfig) and not hasattr(
+        cfg.text_config, "rope_theta"
+    ):
+        raise NotImplementedError("generate_stream supports decoder-only LMs")
+    if generation_config.num_beams > 1:
+        raise NotImplementedError("beam search cannot stream; use generate()")
+    gen_cfg = generation_config
+    if gen_cfg.eos_token_id is None:
+        gen_cfg = gen_cfg.with_eos(cfg.text_config.eos_token_id)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if attention_mask is None:
+        attention_mask = jnp.ones_like(input_ids)
+
+    inputs_embeds = model.apply(
+        variables, input_ids, pixel_values, video_input_mask, method=type(model).embed_and_scatter
+    )
+    if inputs_embeds.shape[1] != attention_mask.shape[1]:
+        prefix = jnp.ones(
+            (attention_mask.shape[0], inputs_embeds.shape[1] - attention_mask.shape[1]),
+            attention_mask.dtype,
+        )
+        attention_mask = jnp.concatenate([prefix, attention_mask], axis=1)
+
+    logits, cache = _prefill(
+        model, variables, inputs_embeds, attention_mask, gen_cfg.max_new_tokens
+    )
+    finished = jnp.zeros((inputs_embeds.shape[0],), bool)
+    emitted = 0
+    while emitted < gen_cfg.max_new_tokens:
+        chunk = min(chunk_tokens, gen_cfg.max_new_tokens - emitted)
+        cache, logits, finished, rng, toks = _decode_chunk(
+            model, variables, cache, logits, finished, gen_cfg, rng, chunk
+        )
+        toks = np.asarray(toks)
+        emitted += chunk
+        yield toks
+        if bool(np.asarray(finished).all()):
+            return
+
+
+# ---------------------------------------------------------------------------
 # beam search (HF BeamSearchScorer semantics, fully on device)
 # ---------------------------------------------------------------------------
 #

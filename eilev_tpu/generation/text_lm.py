@@ -57,9 +57,15 @@ class TextLM:
     generate text. LLaMA is the reference's model for these workloads
     (generate_std_sent.py:24-45)."""
 
-    def __init__(self, path: str, dtype=jnp.bfloat16):
+    def __init__(self, path: str, dtype=jnp.bfloat16, int8: bool = False):
+        """``int8=True`` opts into the weight-only int8 serving path
+        (ops/quantization.py) — halves the HBM weight stream decode is bound
+        on; logits are near- but not bit-identical to bf16."""
+        import dataclasses
+
         from ..models.auto import load_tokenizer
         from ..models.convert import convert_opt, _SD
+        from ..ops.quantization import quantize_lm_params
 
         with open(os.path.join(path, "config.json")) as f:
             hf = json.load(f)
@@ -86,6 +92,8 @@ class TextLM:
                 f"TextLM supports LLaMA- and OPT-family decoder-only checkpoints; "
                 f"got {hf.get('model_type')!r}."
             )
+        if int8:
+            text_cfg = dataclasses.replace(text_cfg, quantize_matmuls=True)
         self.config = VideoBlipConfig(text_config=text_cfg)
         self.module = _TextOnlyModule(self.config, dtype=dtype)
         self.tokenizer = load_tokenizer(path)
@@ -104,6 +112,8 @@ class TextLM:
         params = {"language_model": convert(_SD(tensors), text_cfg)}
         if dtype is not None:
             params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+        if int8:
+            params = quantize_lm_params(params)
         self.variables = {"params": params}
 
     def generate(

@@ -100,12 +100,33 @@ def load_model(
     version: str = "v2",
     dtype=jnp.float32,
     param_dtype=None,
+    int8_lm: bool = False,
 ):
-    """Load a save_pretrained dir -> (model module, {'params': ...}, config)."""
+    """Load a save_pretrained dir -> (model module, {'params': ...}, config).
+
+    ``int8_lm=True`` opts the language model into the weight-only int8 serving
+    path (ops/quantization.py): halves the LM weight stream the decode step is
+    HBM-bound on. Not bit-parity with bf16 — off by default.
+    """
     with open(os.path.join(path, "config.json")) as f:
         hf_cfg = json.load(f)
     config = config_from_hf_dict(hf_cfg)
+    if int8_lm:
+        import dataclasses
+
+        from ..configs import replace as cfg_replace
+        from ..ops.quantization import quantize_lm_params
+
+        if not isinstance(config.text_config, OPTConfig):
+            raise ValueError("int8_lm currently supports OPT-family LMs only")
+        config = cfg_replace(
+            config,
+            text_config=dataclasses.replace(config.text_config, quantize_matmuls=True),
+        )
     params = load_hf_checkpoint(path, config, dtype=param_dtype)
+    if int8_lm:
+        params = dict(params)
+        params["language_model"] = quantize_lm_params(params["language_model"])
     cls = (
         VideoBlipForConditionalGeneration
         if version == "v2"

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..configs import LlamaConfig
 from ..ops.attention import dot_product_attention
+from ..ops.quantization import dense_cls
 
 Cache = dict[str, Any]
 
@@ -86,16 +87,17 @@ class LlamaAttention(nn.Module):
     def setup(self) -> None:
         cfg = self.config
         hd = cfg.head_dim
-        self.q_proj = nn.Dense(
+        dense = dense_cls(cfg)  # nn.Dense, or Int8Dense when opted in
+        self.q_proj = dense(
             cfg.num_attention_heads * hd, use_bias=False, dtype=self.dtype, name="q_proj"
         )
-        self.k_proj = nn.Dense(
+        self.k_proj = dense(
             cfg.num_key_value_heads * hd, use_bias=False, dtype=self.dtype, name="k_proj"
         )
-        self.v_proj = nn.Dense(
+        self.v_proj = dense(
             cfg.num_key_value_heads * hd, use_bias=False, dtype=self.dtype, name="v_proj"
         )
-        self.o_proj = nn.Dense(
+        self.o_proj = dense(
             cfg.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj"
         )
 
@@ -159,13 +161,14 @@ class LlamaMLP(nn.Module):
 
     def setup(self) -> None:
         cfg = self.config
-        self.gate_proj = nn.Dense(
+        dense = dense_cls(cfg)
+        self.gate_proj = dense(
             cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj"
         )
-        self.up_proj = nn.Dense(
+        self.up_proj = dense(
             cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj"
         )
-        self.down_proj = nn.Dense(
+        self.down_proj = dense(
             cfg.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj"
         )
 

@@ -36,6 +36,7 @@ from ..ops.attention import (
     make_causal_bias,
     mask_to_bias,
 )
+from ..ops.quantization import dense_cls
 
 Cache = dict[str, Any]
 
@@ -73,10 +74,11 @@ class OPTAttention(nn.Module):
 
     def setup(self) -> None:
         d = self.config.hidden_size
-        self.q_proj = nn.Dense(d, dtype=self.dtype, name="q_proj")
-        self.k_proj = nn.Dense(d, dtype=self.dtype, name="k_proj")
-        self.v_proj = nn.Dense(d, dtype=self.dtype, name="v_proj")
-        self.out_proj = nn.Dense(d, dtype=self.dtype, name="out_proj")
+        dense = dense_cls(self.config)  # nn.Dense, or Int8Dense when opted in
+        self.q_proj = dense(d, dtype=self.dtype, name="q_proj")
+        self.k_proj = dense(d, dtype=self.dtype, name="k_proj")
+        self.v_proj = dense(d, dtype=self.dtype, name="v_proj")
+        self.out_proj = dense(d, dtype=self.dtype, name="out_proj")
 
     def __call__(
         self,
@@ -172,8 +174,9 @@ class OPTDecoderLayer(nn.Module):
         self.final_layer_norm = nn.LayerNorm(use_fast_variance=False, 
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm"
         )
-        self.fc1 = nn.Dense(cfg.ffn_dim, dtype=self.dtype, name="fc1")
-        self.fc2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")
+        dense = dense_cls(cfg)
+        self.fc1 = dense(cfg.ffn_dim, dtype=self.dtype, name="fc1")
+        self.fc2 = dense(cfg.hidden_size, dtype=self.dtype, name="fc2")
         self.dropout_layer = nn.Dropout(cfg.dropout)
 
     def _act(self, x: jax.Array) -> jax.Array:

@@ -1,0 +1,118 @@
+"""Weight-only int8 quantization for the decode-bound serving path.
+
+Why: the OPT-2.7B decode step is HBM-bound on reading ~5 GB of bf16 matmul
+weights every token (measured 7.7 ms/step at 654 GB/s on one v5e chip —
+benchmarks/decode_variants.py). Storing those weights as int8 with per-output-
+channel scales halves the stream: measured 4.5 ms/step for the same matmuls.
+XLA fuses the int8->f32 dequant into the dot's weight read, so the bf16 weights
+never materialize in HBM.
+
+STRICTLY OPT-IN. The framework's north star is token-identical greedy output
+vs the bf16 HF reference (BASELINE.md), and int8 rounding perturbs logits
+(cosine similarity ~0.999+ but not bit-equal). Enable via
+``OPTConfig/LlamaConfig(quantize_matmuls=True)`` +
+:func:`quantize_lm_params` on the loaded checkpoint, or the ``--int8-lm``
+flag on the serving CLIs.
+
+Scope: the per-layer projection/FFN matmuls (q/k/v/out, fc1/fc2, gate/up/down).
+Embeddings, the tied LM head, layer norms, and biases stay in model dtype —
+the head is ~5% of the per-step traffic and shares storage with the input
+embedding, and norm/bias numerics are load-bearing for parity debugging.
+
+Reference equivalent: none (the reference serves fp16 HF eager — this is a
+TPU-serving capability beyond parity; DeepSpeed ZeRO-2 in the reference is a
+*training* memory feature, /root/reference/slurm-scripts/train/submit_train_v2.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# flax param-tree node names whose "kernel" gets quantized, per decoder family
+OPT_QUANT_NAMES = frozenset({"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"})
+LLAMA_QUANT_NAMES = frozenset(
+    {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
+)
+QUANT_NAMES = OPT_QUANT_NAMES | LLAMA_QUANT_NAMES
+
+
+def quantize_int8(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel int8 quantization of a (in, out) kernel.
+
+    Returns (w8 int8 (in, out), scale float32 (out,)) with w ≈ w8 * scale.
+    """
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    w8 = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return w8, scale
+
+
+class Int8Dense(nn.Module):
+    """Drop-in Dense with an int8 kernel + per-channel scale.
+
+    The dot runs int8 weights against model-dtype activations with f32
+    accumulation; the scale applies to the f32 accumulator before casting
+    back, so the only quantization error is the weight rounding itself.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w8 = self.param(
+            "w8", nn.initializers.zeros, (x.shape[-1], self.features), jnp.int8
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        y = jax.lax.dot_general(
+            x,
+            w8,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = (y * scale).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.dtype
+            )
+            y = y + bias
+        return y
+
+
+def dense_cls(config) -> type:
+    """nn.Dense, or Int8Dense when the config opts into quantized matmuls."""
+    return Int8Dense if getattr(config, "quantize_matmuls", False) else nn.Dense
+
+
+def quantize_lm_params(params: Any, names: Optional[frozenset] = None) -> Any:
+    """Transform a loaded bf16/f32 param tree for a ``quantize_matmuls`` model.
+
+    Every dict node whose name is in ``names`` (default: both decoder
+    families' projection/FFN modules) and that carries a "kernel" leaf becomes
+    {w8, scale[, bias]}. Everything else passes through untouched, so the tree
+    matches what ``model.init`` produces with the flag set.
+    """
+    if names is None:
+        names = QUANT_NAMES
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for key, val in node.items():
+            if key in names and isinstance(val, dict) and "kernel" in val:
+                w8, scale = quantize_int8(jnp.asarray(val["kernel"]))
+                q = {"w8": w8, "scale": scale}
+                if "bias" in val:
+                    q["bias"] = val["bias"]
+                out[key] = q
+            else:
+                out[key] = walk(val)
+        return out
+
+    return walk(params)

@@ -43,6 +43,8 @@ Generated:"""
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True, help="local decoder-only LM dir")
+    p.add_argument("--int8_lm", action="store_true",
+                   help="weight-only int8 LM serving (ops/quantization.py)")
     p.add_argument("--predictions_csv", required=True, help="from majority_predict.py")
     p.add_argument("--output_csv", required=True)
     p.add_argument("--batch_size", type=int, default=8)
@@ -52,7 +54,7 @@ def main() -> None:
     from eilev_tpu.generation import GenerationConfig
     from eilev_tpu.generation.text_lm import TextLM
 
-    lm = TextLM(args.model)
+    lm = TextLM(args.model, int8=args.int8_lm)
     newline_id = lm.tokenizer("\n", add_special_tokens=False)["input_ids"][0]
     gen_cfg = GenerationConfig(
         max_new_tokens=64, eos_token_id=(newline_id,), pad_token_id=lm.tokenizer.pad_token_id

@@ -39,6 +39,8 @@ Sentence:"""
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True, help="local decoder-only LM dir")
+    p.add_argument("--int8_lm", action="store_true",
+                   help="weight-only int8 LM serving (ops/quantization.py)")
     p.add_argument("--annotation", required=True, help="EK annotation CSV with a 'narration' column")
     p.add_argument("--output", required=True)
     p.add_argument("--batch_size", type=int, default=8)
@@ -49,7 +51,7 @@ def main() -> None:
     from eilev_tpu.generation import GenerationConfig
     from eilev_tpu.generation.text_lm import TextLM
 
-    lm = TextLM(args.model)
+    lm = TextLM(args.model, int8=args.int8_lm)
     newline_id = lm.tokenizer("\n", add_special_tokens=False)["input_ids"][0]
     gen_cfg = GenerationConfig(
         max_new_tokens=args.max_new_tokens,

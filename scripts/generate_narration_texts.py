@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--model", required=True)
     p.add_argument("--processor", default=None)
     p.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
+    p.add_argument("--int8_lm", action="store_true",
+                   help="weight-only int8 LM serving path (faster decode; "
+                        "near- but not bit-identical logits vs bf16)")
     p.add_argument("--eval_frames_dir", required=True)
     p.add_argument("--eval_annotation_file")
     p.add_argument("--in_context_query_map_file", required=True)
@@ -71,7 +74,7 @@ def main() -> None:
     from eilev_tpu.ops.preprocess import process_videos
     from eilev_tpu.utils import WandbLogger
 
-    model, variables, config = load_model(args.model, dtype=dtype)
+    model, variables, config = load_model(args.model, dtype=dtype, int8_lm=args.int8_lm)
     tokenizer = load_tokenizer(args.processor or args.model)
 
     decoder_only = config.use_decoder_only_language_model

@@ -1,0 +1,122 @@
+"""Weight-only int8 serving path (ops/quantization.py).
+
+Guards: (a) the quantizer's reconstruction error is the rounding bound,
+(b) an int8-flagged model consumes quantized trees and tracks the bf16
+model's logits closely, (c) the end-to-end generate() path runs with an
+int8 LM and emits valid tokens.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eilev_tpu import configs
+from eilev_tpu.generation import GenerationConfig, generate
+from eilev_tpu.models import VideoBlipForConditionalGeneration
+from eilev_tpu.ops.quantization import (
+    Int8Dense,
+    quantize_int8,
+    quantize_lm_params,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32)) * 0.1
+    w8, scale = quantize_int8(w)
+    assert w8.dtype == jnp.int8 and scale.shape == (48,)
+    recon = w8.astype(jnp.float32) * scale
+    # max error per channel is half a quantization step
+    err = jnp.max(jnp.abs(recon - w), axis=0)
+    bound = jnp.max(jnp.abs(w), axis=0) / 127.0 * 0.5 + 1e-8
+    assert (err <= bound + 1e-6).all()
+
+
+def test_int8_dense_matches_dense():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3, 10, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 24)).astype(np.float32)) * 0.05
+    b = jnp.asarray(rng.normal(size=(24,)).astype(np.float32)) * 0.01
+    ref = x @ w + b
+    w8, scale = quantize_int8(w)
+    mod = Int8Dense(features=24, dtype=jnp.float32)
+    got = mod.apply({"params": {"w8": w8, "scale": scale, "bias": b}}, x)
+    # relative error bounded by the weight rounding (~0.4% of channel scale)
+    rel = jnp.abs(got - ref) / (jnp.abs(ref) + 1e-3)
+    assert float(jnp.median(rel)) < 0.02, float(jnp.median(rel))
+
+
+def _tiny_models():
+    cfg = configs.tiny_config(text_model="opt")
+    qcfg = configs.replace(
+        cfg,
+        text_config=dataclasses.replace(cfg.text_config, quantize_matmuls=True),
+    )
+    model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.float32)
+    qmodel = VideoBlipForConditionalGeneration(qcfg, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    b, t, s = 2, 2, 12
+    img = cfg.vision_config.image_size
+    pixel = rng.normal(size=(b, 3, t, img, img)).astype(np.float32)
+    ids = rng.integers(4, cfg.text_config.vocab_size, size=(b, s))
+    vim = np.zeros((b, s), np.int64)
+    vim[:, 1 : 1 + cfg.num_query_tokens] = 1
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(ids),
+        pixel_values=jnp.asarray(pixel),
+        video_input_mask=jnp.asarray(vim),
+    )["params"]
+    qparams = dict(params)
+    qparams["language_model"] = quantize_lm_params(params["language_model"])
+    return cfg, model, qmodel, params, qparams, ids, pixel, vim
+
+
+def test_quantized_tree_matches_init_structure():
+    cfg, model, qmodel, params, qparams, ids, pixel, vim = _tiny_models()
+    expect = qmodel.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(ids),
+        pixel_values=jnp.asarray(pixel),
+        video_input_mask=jnp.asarray(vim),
+    )["params"]
+    got_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree.leaves_with_path(qparams)}
+    want_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree.leaves_with_path(expect)}
+    assert got_paths == want_paths
+
+
+def test_int8_generate_runs_and_tracks_bf16():
+    cfg, model, qmodel, params, qparams, ids, pixel, vim = _tiny_models()
+    gen_cfg = GenerationConfig(max_new_tokens=5, pad_token_id=1)
+    kw = dict(
+        input_ids=jnp.asarray(ids),
+        pixel_values=jnp.asarray(pixel),
+        video_input_mask=jnp.asarray(vim),
+        generation_config=gen_cfg,
+    )
+    ref = np.asarray(generate(model, {"params": params}, **kw))
+    got = np.asarray(generate(qmodel, {"params": qparams}, **kw))
+    assert got.shape == ref.shape
+    assert (got >= 0).all() and (got < cfg.text_config.vocab_size).all()
+    # logit-level closeness: compare the LM forward on the same embeddings
+    embeds = model.apply(
+        {"params": params},
+        jnp.asarray(ids),
+        jnp.asarray(pixel),
+        jnp.asarray(vim),
+        method=type(model).embed_and_scatter,
+    )
+    ref_logits, _ = model.apply(
+        {"params": params}, embeds, attention_mask=jnp.ones_like(jnp.asarray(ids)),
+        method=type(model).lm_forward,
+    )
+    got_logits, _ = qmodel.apply(
+        {"params": qparams}, embeds, attention_mask=jnp.ones_like(jnp.asarray(ids)),
+        method=type(qmodel).lm_forward,
+    )
+    a = np.asarray(ref_logits, np.float32).reshape(-1)
+    g = np.asarray(got_logits, np.float32).reshape(-1)
+    cos = float(np.dot(a, g) / (np.linalg.norm(a) * np.linalg.norm(g) + 1e-9))
+    assert cos > 0.999, cos

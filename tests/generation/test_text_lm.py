@@ -181,3 +181,24 @@ def test_text_lm_rejects_non_opt(tmp_path):
 
     with pytest.raises(ValueError, match="OPT-family"):
         TextLM(str(d))
+
+
+def test_text_lm_int8_llama_runs(llama_checkpoint):
+    """--int8_lm serving path: quantized LLaMA loads and generates sane text."""
+    path, _ = llama_checkpoint
+    import jax.numpy as jnp
+
+    from eilev_tpu.generation import GenerationConfig
+    from eilev_tpu.generation.text_lm import TextLM
+
+    lm = TextLM(path, dtype=jnp.float32, int8=True)
+    assert lm.config.text_config.quantize_matmuls
+    # the transformed tree carries int8 kernels
+    leaf = lm.variables["params"]["language_model"]["layers_0"]["self_attn"]["q_proj"]
+    assert set(leaf) == {"w8", "scale"} and leaf["w8"].dtype == jnp.int8
+    texts = lm.generate(
+        ["[INST] Generate a sentence [/INST]"],
+        GenerationConfig(max_new_tokens=4, pad_token_id=lm.tokenizer.pad_token_id,
+                         eos_token_id=(0,)),
+    )
+    assert len(texts) == 1 and isinstance(texts[0], str)
