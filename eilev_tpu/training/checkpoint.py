@@ -27,6 +27,19 @@ from ..configs import OPTConfig, T5Config, VideoBlipConfig
 from .train_state import TrainState
 
 
+def _payload(state: TrainState, best: Optional[tuple]) -> dict:
+    payload = {
+        "step": np.asarray(int(state.step), np.int32),
+        "trainable": state.trainable,
+        "opt_state": state.opt_state,
+    }
+    if best is not None:
+        best_loss, best_trainable = best
+        payload["best_loss"] = np.asarray(best_loss, np.float32)
+        payload["best_trainable"] = best_trainable
+    return payload
+
+
 def save_checkpoint(
     ckpt_dir: str, state: TrainState, *, keep: int = 3, best: Optional[tuple] = None
 ) -> str:
@@ -38,22 +51,51 @@ def save_checkpoint(
     the equivalent in its checkpoint dirs, reference train_v2.py:205)."""
     import orbax.checkpoint as ocp
 
-    step = int(state.step)
-    path = os.path.join(os.path.abspath(ckpt_dir), str(step))
-    payload = {
-        "step": np.asarray(step, np.int32),
-        "trainable": state.trainable,
-        "opt_state": state.opt_state,
-    }
-    if best is not None:
-        best_loss, best_trainable = best
-        payload["best_loss"] = np.asarray(best_loss, np.float32)
-        payload["best_trainable"] = best_trainable
+    path = os.path.join(os.path.abspath(ckpt_dir), str(int(state.step)))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, _payload(state, best), force=True)
     ckptr.wait_until_finished()
     _prune(ckpt_dir, keep)
     return path
+
+
+class AsyncCheckpointWriter:
+    """Checkpoint saves that overlap training compute.
+
+    orbax's StandardCheckpointer is an AsyncCheckpointer: ``save`` returns
+    after staging the arrays host-side and writes in a background thread.
+    The blocking ``save_checkpoint`` above waits immediately; this wrapper
+    defers the wait until the *next* save (or an explicit ``wait()``), so the
+    save_steps cadence costs device-to-host staging only. Safe because the
+    train step does not donate the trainable/opt-state buffers being written
+    (trainer.py builds the step with donation off). The reference's HF Trainer
+    has no async equivalent — its ``save_pretrained`` blocks the step loop.
+    """
+
+    def __init__(self) -> None:
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.StandardCheckpointer()
+        self._pending: Optional[tuple[str, int]] = None  # (ckpt_dir, keep)
+
+    def save(
+        self, ckpt_dir: str, state: TrainState, *, keep: int = 3,
+        best: Optional[tuple] = None,
+    ) -> str:
+        self.wait()  # one save in flight at a time (orbax requirement)
+        path = os.path.join(os.path.abspath(ckpt_dir), str(int(state.step)))
+        self._ckptr.save(path, _payload(state, best), force=True)
+        self._pending = (ckpt_dir, keep)
+        return path
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) commits, then prune."""
+        if self._pending is None:
+            return
+        ckpt_dir, keep = self._pending
+        self._pending = None
+        self._ckptr.wait_until_finished()
+        _prune(ckpt_dir, keep)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel import make_mesh, param_shardings
-from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .checkpoint import (
+    AsyncCheckpointWriter,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from .train_state import (
     OptimizerConfig,
     TrainState,
@@ -60,6 +65,9 @@ class TrainerConfig:
     # ZeRO-2 equivalent: shard the optimizer moments over the "data" axis
     # (reference's optional DeepSpeed ZeRO-2, submit_train_v2.py:38-65)
     zero_shard_opt_state: bool = False
+    # overlap checkpoint writes with training (orbax async); the final save
+    # always commits before train() returns
+    async_save: bool = False
 
 
 class _Prefetcher:
@@ -200,6 +208,7 @@ class Trainer:
         self._eval_fn = jax.jit(lambda p, b: eval_step(model, p, b))
         self.best_eval_loss = float("inf")
         self.best_trainable = None
+        self._ckpt_writer: Optional[AsyncCheckpointWriter] = None
 
         if config.resume_from_checkpoint:
             path = latest_checkpoint(config.output_dir)
@@ -275,18 +284,30 @@ class Trainer:
                     self.best_trainable = jax.tree.map(lambda x: x, self.state.trainable)
 
             if cfg.save_steps and step % cfg.save_steps == 0:
-                save_checkpoint(
-                    cfg.output_dir, self.state, keep=cfg.save_total_limit,
-                    best=self._best_payload(),
-                )
+                self._save(cfg)
 
         if cfg.load_best_model_at_end and self.best_trainable is not None:
             self.state = self.state.replace(trainable=self.best_trainable)
-        save_checkpoint(
-            cfg.output_dir, self.state, keep=cfg.save_total_limit,
-            best=self._best_payload(),
-        )
+        self._save(cfg, final=True)
         return self.state
+
+    def _save(self, cfg: TrainerConfig, final: bool = False) -> None:
+        """Periodic saves overlap compute when cfg.async_save; the final save
+        always commits before returning."""
+        if cfg.async_save:
+            if self._ckpt_writer is None:
+                self._ckpt_writer = AsyncCheckpointWriter()
+            self._ckpt_writer.save(
+                cfg.output_dir, self.state, keep=cfg.save_total_limit,
+                best=self._best_payload(),
+            )
+            if final:
+                self._ckpt_writer.wait()
+        else:
+            save_checkpoint(
+                cfg.output_dir, self.state, keep=cfg.save_total_limit,
+                best=self._best_payload(),
+            )
 
     def _best_payload(self):
         """Best-eval snapshot persisted alongside the state so

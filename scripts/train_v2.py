@@ -60,6 +60,8 @@ def parse_args():
                    help="reference recipe trains 5 epochs (README.md:152-155)")
     p.add_argument("--zero_shard_opt_state", action="store_true",
                    help="ZeRO-2-equivalent: shard optimizer moments over the data axis")
+    p.add_argument("--async_save", action="store_true",
+                   help="overlap orbax checkpoint writes with training compute")
     p.add_argument("--per_device_train_batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=16)
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -172,6 +174,7 @@ def main() -> None:
             per_device_batch_size=args.per_device_train_batch_size,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             zero_shard_opt_state=args.zero_shard_opt_state,
+            async_save=args.async_save,
             optimizer=OptimizerConfig(
                 learning_rate=args.learning_rate,
                 warmup_steps=args.warmup_steps,

@@ -104,3 +104,39 @@ def test_hf_export_t5_roundtrip(tmp_path):
         params,
         back,
     )
+
+
+def test_async_writer_roundtrip_and_prune(setup, tmp_path):
+    """AsyncCheckpointWriter: overlapped saves commit the same bytes as the
+    blocking path, one-in-flight serialization works, prune applies on wait."""
+    import os
+
+    from eilev_tpu.training.checkpoint import AsyncCheckpointWriter
+
+    _, _, params = setup
+    trainable, _ = partition_params(params)
+    tx = optax.adam(1e-3)
+    state = TrainState.create(trainable, tx)
+
+    ckpt_dir = str(tmp_path / "async_ckpts")
+    writer = AsyncCheckpointWriter()
+    states = {}
+    for step in [1, 2, 3, 4]:
+        bumped = jax.tree.map(lambda x: x + 1.0, state.trainable)
+        state = state.replace(step=jnp.asarray(step, jnp.int32), trainable=bumped)
+        states[step] = state
+        writer.save(ckpt_dir, state, keep=2, best=(0.5, state.trainable))
+    writer.wait()
+    writer.wait()  # idempotent
+
+    assert sorted(os.listdir(ckpt_dir)) == ["3", "4"]
+    latest = latest_checkpoint(ckpt_dir)
+    fresh = TrainState.create(trainable, tx)
+    restored, best = restore_checkpoint(latest, fresh, with_best=True)
+    assert int(restored.step) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.trainable,
+        states[4].trainable,
+    )
+    assert best is not None and best[0] == 0.5

@@ -102,3 +102,54 @@ def test_trainer_end_to_end(tmp_path):
     assert int(trainer2.state.step) == 6
     state2 = trainer2.train()
     assert int(state2.step) == 8
+
+
+def test_trainer_async_save_resume(tmp_path):
+    """cfg.async_save: overlapped checkpoints commit by the end of train() and
+    a fresh Trainer resumes from them identically."""
+    cfg = configs.tiny_config(text_model="opt")
+    model = VideoBlipForConditionalGeneration(cfg)
+    rng = jax.random.PRNGKey(0)
+    img = cfg.vision_config.image_size
+    params = model.init(
+        rng,
+        input_ids=jnp.ones((1, 12), jnp.int32),
+        pixel_values=jax.random.normal(rng, (1, 3, 2, img, img)),
+        video_input_mask=jnp.zeros((1, 12), jnp.int32).at[:, 1 : 1 + cfg.num_query_tokens].set(1),
+    )["params"]
+    tconf = TrainerConfig(
+        output_dir=str(tmp_path / "ckpt"),
+        num_train_steps=4,
+        gradient_accumulation_steps=2,
+        per_device_batch_size=1,
+        optimizer=OptimizerConfig(learning_rate=5e-3, warmup_steps=0, total_steps=10),
+        eval_steps=0,
+        save_steps=2,
+        log_steps=10,
+        dropout=False,
+        load_best_model_at_end=False,
+        async_save=True,
+    )
+    trainer = Trainer(
+        model, params, tconf,
+        train_batches=_make_batches(cfg, 2, 1, steps=100, seed=0),
+        mesh=make_mesh(data=1),
+    )
+    state = trainer.train()
+    latest = latest_checkpoint(tconf.output_dir)
+    assert latest is not None and latest.endswith("/4")
+
+    # resume: a fresh trainer picks up at step 4 with identical trainables
+    tconf2 = TrainerConfig(**{**tconf.__dict__, "resume_from_checkpoint": True,
+                              "num_train_steps": 4})
+    trainer2 = Trainer(
+        model, params, tconf2,
+        train_batches=_make_batches(cfg, 2, 1, steps=100, seed=0),
+        mesh=make_mesh(data=1),
+    )
+    assert int(trainer2.state.step) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        trainer2.state.trainable,
+        state.trainable,
+    )
