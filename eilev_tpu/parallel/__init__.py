@@ -7,13 +7,27 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .pipeline import (
+    STAGE_AXIS,
+    make_pipeline_mesh,
+    make_pipeline_trunk,
+    opt_layer_apply,
+    shard_stacked,
+    stack_layer_params,
+)
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "STAGE_AXIS",
     "batch_sharding",
     "make_mesh",
+    "make_pipeline_mesh",
+    "make_pipeline_trunk",
+    "opt_layer_apply",
     "param_shardings",
     "replicated",
     "shard_batch",
+    "shard_stacked",
+    "stack_layer_params",
 ]
