@@ -127,12 +127,21 @@ def main() -> None:
 
     from eilev_tpu.ops.preprocess import process_videos
 
+    # >1: run the ViT in sequential chunks (lax.map) to cap the activation
+    # peak — required for batch >= 8, where the monolithic vision stage
+    # oversubscribes HBM and XLA spills (measured 25.7 -> 6.1 videos/s)
+    vision_chunks = int(os.environ.get("BENCH_VISION_CHUNKS", "1"))
+
+    from eilev_tpu.models.video_blip import embed_and_scatter_chunked
+
     @jax.jit
     def full_step(variables, pixel_u8):
         # ONE compiled program: fused preprocess -> vision -> qformer -> scatter
         # -> prefill -> 32-step decode. No host round-trips between stages.
         pixel = process_videos(pixel_u8, dtype=jnp.bfloat16)
-        embeds = model.apply(variables, ids_d, pixel, vim_d, method=VB.embed_and_scatter)
+        embeds = embed_and_scatter_chunked(
+            model, variables, ids_d, pixel, vim_d, vision_chunks=vision_chunks
+        )
         return _greedy_sample_decoder_only(model, variables, embeds, mask_d, gen_cfg, rng)
 
     # Input batches are staged on device BEFORE the timed loop, and the H2D

@@ -210,3 +210,42 @@ def shift_tokens_right(labels: jax.Array, pad_token_id: int, decoder_start_token
     shifted = jnp.roll(labels, 1, axis=-1)
     shifted = shifted.at[:, 0].set(decoder_start_token_id)
     return jnp.where(shifted == -100, pad_token_id, shifted)
+
+
+def embed_and_scatter_chunked(
+    model: "VideoBlipForConditionalGeneration",
+    variables,
+    input_ids: jax.Array,
+    pixel_values: jax.Array,
+    video_input_mask: jax.Array,
+    *,
+    vision_chunks: int = 1,
+) -> jax.Array:
+    """``embed_and_scatter`` with the vision+Q-Former stage run in
+    ``vision_chunks`` sequential pieces (``lax.map`` = a scan, so XLA cannot
+    overlap chunks and the activation peak is 1/chunks of the monolithic run).
+
+    Why: the ViT is compute-bound — chunking costs nothing — but its
+    activations are the HBM peak of the serving step. At the flagship
+    geometry one v5e chip fits a 4-datapoint (68-video) batch monolithically;
+    an 8-datapoint batch spills and collapses throughput (measured 25.7 ->
+    6.1 videos/s). Chunking restores large-batch serving, which matters
+    because the 32-layer OPT decode step is weight-read-bound and amortizes
+    over batch. Function-level (not flax-level) so the param tree stays
+    identical to the reference checkpoint mapping.
+    """
+    cls = type(model)
+    if vision_chunks <= 1:
+        return model.apply(
+            variables, input_ids, pixel_values, video_input_mask,
+            method=cls.embed_and_scatter,
+        )
+    v = pixel_values.shape[0]
+    assert v % vision_chunks == 0, (v, vision_chunks)
+    chunked = pixel_values.reshape(vision_chunks, v // vision_chunks, *pixel_values.shape[1:])
+    feats = jax.lax.map(
+        lambda px: model.apply(variables, px, method=cls.encode_videos), chunked
+    )  # (chunks, chunk_v * Q, D)
+    feats = feats.reshape(-1, feats.shape[-1])
+    embeds = model.apply(variables, input_ids, method=cls.lm_embed)
+    return scatter_video_features(embeds, video_input_mask, feats)

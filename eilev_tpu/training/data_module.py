@@ -113,12 +113,19 @@ def train_batch_iterator(
     epochs: Optional[int] = None,
     dtype=jnp.float32,
     interleaved: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Yields static-shape batches: every array (accum, micro, ...); token axes
     padded to ``max_length``; pixel_values (accum, micro*videos, C, T, H, W).
 
     Over-long samples are truncated to max_length from the RIGHT for labels/ids
     (keeps the video tokens, which sit at the front).
+
+    Multi-host: pass ``process_index``/``process_count`` and a PER-HOST
+    ``micro_batch_size``; each host loads a disjoint strided shard of the
+    same seeded shuffle, and ``trainer.shard_train_batch`` assembles the
+    host-local batches into one global sharded array.
     """
     rng = _random.Random(seed)
     key = jax.random.PRNGKey(seed)
@@ -140,7 +147,10 @@ def train_batch_iterator(
         while epochs is None or epoch < epochs:
             order = list(range(len(dataset)))
             rng.shuffle(order)
-            for i in order:
+            # multi-host: every process shuffles identically (same seed), then
+            # takes its stride — disjoint shards, no coordination traffic
+            # (reference equivalent: torch DistributedSampler)
+            for i in order[process_index::process_count]:
                 yield pre(dataset[i])
             epoch += 1
 

@@ -113,8 +113,18 @@ def shard_train_batch(batch: Any, mesh) -> Any:
     """Shard the MICRO-BATCH axis (axis 1; axis 0 is grad accumulation) over
     'data'. A micro axis that doesn't divide the data axis is a configuration
     error (it would silently replicate and waste an N-x of throughput), so it
-    raises instead."""
+    raises instead.
+
+    Multi-process: ``batch`` is this HOST'S shard (loaded by
+    ``train_batch_iterator(process_index=..., process_count=...)``); the
+    host-local arrays assemble into one global sharded array with no
+    cross-host data movement (parallel/distributed.py)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() > 1:
+        from ..parallel.distributed import host_local_batch_to_global
+
+        return host_local_batch_to_global(batch, mesh, batch_axis=1)
 
     n = mesh.shape["data"]
 

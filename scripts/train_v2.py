@@ -32,6 +32,7 @@ if _os.environ.get("JAX_PLATFORMS"):
 import argparse
 import random
 
+import jax
 import jax.numpy as jnp
 
 
@@ -75,6 +76,10 @@ def parse_args():
     p.add_argument("--resume_from_checkpoint", action="store_true")
     p.add_argument("--wandb_project", default=None)
     p.add_argument("--data_parallel", type=int, default=None, help="mesh data axis size")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process SPMD: jax.distributed.initialize + per-host "
+                        "sharded data loading (reference: torchrun c10d multi-node); "
+                        "set --eval_steps 0 (periodic eval is single-host)")
     p.add_argument("--model_parallel", type=int, default=1, help="mesh model (TP) axis size")
     p.add_argument("--export_hf", action="store_true", help="export final model as safetensors")
     return p.parse_args()
@@ -92,11 +97,20 @@ def main() -> None:
     from eilev_tpu.training.trainer import Trainer, TrainerConfig
     from eilev_tpu.utils import WandbLogger
 
+    if args.multihost:
+        from eilev_tpu.parallel.distributed import initialize
+
+        initialize()
+
     model, variables, config = load_model(args.model_name_or_path, dtype=dtype)
     tokenizer = load_tokenizer(args.model_name_or_path)
 
     mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
     micro = args.per_device_train_batch_size * mesh.shape["data"]
+    # each host loads its stride of the dataset and 1/num_processes of the
+    # global micro batch; shard_train_batch assembles the global array
+    n_proc = jax.process_count()
+    micro_local = micro // n_proc
 
     train_data = FrameInterleavedDataset(
         args.train_frames_dir,
@@ -136,7 +150,9 @@ def main() -> None:
             num_query_tokens=config.num_query_tokens,
             decoder_only_lm=decoder_only,
             accum_steps=args.gradient_accumulation_steps,
-            micro_batch_size=micro,
+            micro_batch_size=micro_local,
+            process_index=jax.process_index(),
+            process_count=n_proc,
             max_length=args.max_length,
             num_frames=args.num_subsample_frames,
             image_size=config.vision_config.image_size,

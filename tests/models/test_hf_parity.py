@@ -190,3 +190,37 @@ def test_videoblip_t5_forward_parity():
     )
     np.testing.assert_allclose(np.asarray(out["logits"]), t2n(ref.logits), atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(float(out["loss"]), float(ref.loss), atol=1e-4, rtol=1e-4)
+
+
+def test_embed_and_scatter_chunked_matches_monolithic():
+    """Function-level vision chunking (serving memory lever) is bit-equivalent
+    to the monolithic embed_and_scatter."""
+    import numpy as np
+
+    from eilev_tpu import configs
+    from eilev_tpu.models import VideoBlipForConditionalGeneration
+    from eilev_tpu.models.video_blip import embed_and_scatter_chunked
+
+    cfg = configs.tiny_config(text_model="opt")
+    model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    b, s = 2, 20
+    v = 4  # videos total (2 per sample)
+    img = cfg.vision_config.image_size
+    pixel = jnp.asarray(rng.normal(size=(v, 3, 2, img, img)), jnp.float32)
+    ids = jnp.asarray(rng.integers(4, cfg.text_config.vocab_size, size=(b, s)), jnp.int32)
+    vim = np.zeros((b, s), np.int32)
+    vim[:, 1 : 1 + 2 * cfg.num_query_tokens] = 1
+    vim = jnp.asarray(vim)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=ids, pixel_values=pixel, video_input_mask=vim
+    )["params"]
+    variables = {"params": params}
+    ref = model.apply(
+        variables, ids, pixel, vim, method=VideoBlipForConditionalGeneration.embed_and_scatter
+    )
+    for chunks in (1, 2, 4):
+        got = embed_and_scatter_chunked(
+            model, variables, ids, pixel, vim, vision_chunks=chunks
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)

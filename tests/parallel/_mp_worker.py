@@ -90,6 +90,16 @@ state, metrics = step(state, frozen, batch)
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
 
+# --- shard_train_batch: the multi-process branch the Trainer prefetcher uses ---
+from eilev_tpu.training.trainer import shard_train_batch  # noqa: E402
+
+assembled = shard_train_batch(local, mesh)
+assert assembled["input_ids"].shape == (1, 4, seq), assembled["input_ids"].shape
+assert "data" in str(assembled["input_ids"].sharding.spec)
+# both hosts' shards reassemble the global batch (checked after the gather
+# import below via the process allgather, since non-addressable shards can't
+# device_get directly)
+
 # --- gather_to_host: the allgather branch (process_count > 1) ---
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
@@ -97,5 +107,10 @@ local_vals = np.arange(proc_id * 2, proc_id * 2 + 2, dtype=np.float32)
 sharded = host_local_batch_to_global({"x": local_vals[None]}, mesh)["x"]
 gathered = gather_to_host(sharded)
 np.testing.assert_array_equal(gathered.reshape(-1), np.arange(4, dtype=np.float32))
+
+# shard_train_batch assembly content check (deferred from above)
+np.testing.assert_array_equal(
+    gather_to_host(assembled["input_ids"]).reshape(b_global, seq), ids_g
+)
 
 print(f"RESULT {proc_id} loss={loss:.6f} gather=ok", flush=True)

@@ -97,3 +97,43 @@ def test_v1_mode():
     assert b["input_ids"].shape == (1, 2, 24)
     assert b["pixel_values"].shape == (1, 2, 3, 2, 16, 16)
     assert "video_input_mask" not in b
+
+
+def test_multihost_striding_disjoint_and_complete():
+    """process_index/process_count: the hosts' streams partition each epoch's
+    shuffled order exactly (DistributedSampler semantics) - verified on the
+    dataset access pattern, since prompt-pool randomness makes token content
+    rng-order dependent."""
+    tok = MockTokenizer()
+
+    class _Rec(_DS):
+        def __init__(self):
+            super().__init__()
+            self.seen = []
+
+        def __getitem__(self, i):
+            self.seen.append(i)
+            return super().__getitem__(i)
+
+    def indices_seen(proc, nproc):
+        ds = _Rec()
+        it = train_batch_iterator(
+            ds, tok,
+            num_query_tokens=3, decoder_only_lm=True,
+            accum_steps=1, micro_batch_size=1,
+            max_length=48, num_frames=2, image_size=16,
+            augment=False, seed=0, epochs=1,
+            process_index=proc, process_count=nproc,
+        )
+        n_batches = sum(1 for _ in it)
+        return ds.seen, n_batches
+
+    full, n_full = indices_seen(0, 1)
+    h0, n0 = indices_seen(0, 2)
+    h1, n1 = indices_seen(1, 2)
+    assert n_full == 6 and n0 == 3 and n1 == 3
+    # same seeded shuffle on every host, disjoint strides that partition it
+    assert h0 == full[0::2]
+    assert h1 == full[1::2]
+    assert not set(h0) & set(h1)
+    assert sorted(h0 + h1) == sorted(full)
