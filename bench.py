@@ -238,6 +238,13 @@ def main() -> None:
             return p
 
         qvariables = {"params": quantize(params)}
+        jax.block_until_ready(qvariables)
+        # free the bf16 tree before timing: at batch >= 8 both models resident
+        # oversubscribe the 16 GB chip (measured ResourceExhausted)
+        del params, variables
+        import gc
+
+        gc.collect()
 
         @jax.jit
         def full_step_int8(variables, pixel_u8):

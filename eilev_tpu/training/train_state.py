@@ -78,6 +78,10 @@ class OptimizerConfig:
     eps: float = 1e-8
     max_grad_norm: float = 1.0
     schedule: str = "linear"  # HF Trainer default: linear decay after warmup
+    # > 0: maintain an exponential moving average of the trainable params
+    # inside the optimizer state (checkpoint/ZeRO-compatible for free);
+    # read it back with ema_params(state). 0 disables (reference has no EMA).
+    ema_decay: float = 0.0
 
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
@@ -95,12 +99,52 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         sched = optax.constant_schedule(cfg.learning_rate)
     else:
         raise ValueError(cfg.schedule)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps, weight_decay=cfg.weight_decay
         ),
     )
+    if cfg.ema_decay:
+        tx = with_param_ema(tx, cfg.ema_decay)
+    return tx
+
+
+class _EmaState(struct.PyTreeNode):
+    inner: Any
+    ema: Any
+
+
+def with_param_ema(
+    tx: optax.GradientTransformation, decay: float
+) -> optax.GradientTransformation:
+    """Wrap ``tx`` so the optimizer state also carries an exponential moving
+    average of the PARAMETERS (ema <- decay*ema + (1-decay)*new_params each
+    step). Living inside opt_state, the EMA checkpoints, restores, and
+    ZeRO-shards through the existing machinery with zero extra plumbing;
+    fetch it with :func:`ema_params`."""
+
+    def init(params):
+        return _EmaState(inner=tx.init(params), ema=jax.tree.map(jnp.asarray, params))
+
+    def update(updates, state, params=None):
+        updates, inner = tx.update(updates, state.inner, params)
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_params
+        )
+        return updates, _EmaState(inner=inner, ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(state: "TrainState") -> Any:
+    """The EMA shadow of ``state.trainable`` (requires an optimizer built with
+    ``ema_decay > 0``)."""
+    assert isinstance(state.opt_state, _EmaState), (
+        "optimizer was not built with ema_decay > 0"
+    )
+    return state.opt_state.ema
 
 
 def make_train_step(

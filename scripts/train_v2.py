@@ -68,6 +68,9 @@ def parse_args():
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--warmup_steps", type=int, default=1000)
     p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="> 0: keep an EMA of the trainable params in the "
+                        "optimizer state (checkpoint/ZeRO-compatible)")
     p.add_argument("--eval_steps", type=int, default=200)
     p.add_argument("--save_steps", type=int, default=200)
     p.add_argument("--save_total_limit", type=int, default=3)
@@ -196,6 +199,7 @@ def main() -> None:
                 warmup_steps=args.warmup_steps,
                 total_steps=total_steps,
                 weight_decay=args.weight_decay,
+                ema_decay=args.ema_decay,
             ),
             eval_steps=args.eval_steps,
             save_steps=args.save_steps,

@@ -177,3 +177,54 @@ def test_tensor_parallel_forward_matches_replicated(setup):
     loss_tp = float(fwd(sharded_params, micro))
     loss_ref = float(fwd(params, {k: jnp.asarray(v[0]) for k, v in batch.items()}))
     np.testing.assert_allclose(loss_tp, loss_ref, rtol=2e-5)
+
+
+def test_param_ema_tracks_and_checkpoints(setup, tmp_path):
+    """ema_decay: the optimizer-state EMA follows the exact recurrence and
+    round-trips through the orbax checkpoint unchanged."""
+    import optax
+
+    from eilev_tpu.training import OptimizerConfig, ema_params, make_optimizer
+    from eilev_tpu.training.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg, model, params = setup
+    batch = jax.tree.map(jnp.asarray, _tiny_batch(cfg, accum=1, micro_b=2))
+    trainable, frozen = partition_params(params)
+    decay = 0.8
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=1e-2, warmup_steps=0, total_steps=10,
+                        ema_decay=decay)
+    )
+    state = TrainState.create(trainable, tx)
+    # ema starts equal to the params
+    jax.tree.map(
+        lambda e, p: np.testing.assert_array_equal(np.asarray(e), np.asarray(p)),
+        ema_params(state), state.trainable,
+    )
+    step = jax.jit(make_train_step(model, accum_steps=1, dropout=False))
+    expected_ema = jax.tree.map(lambda x: np.asarray(x, np.float64), trainable)
+    for _ in range(3):
+        state, _ = step(state, frozen, batch)
+        expected_ema = jax.tree.map(
+            lambda e, p: decay * e + (1 - decay) * np.asarray(p, np.float64),
+            expected_ema, state.trainable,
+        )
+    jax.tree.map(
+        lambda e, x: np.testing.assert_allclose(
+            np.asarray(e, np.float64), x, rtol=1e-5, atol=1e-6
+        ),
+        ema_params(state), expected_ema,
+    )
+    # checkpoint round trip carries the EMA (it lives in opt_state)
+    ckpt = str(tmp_path / "ema_ckpt")
+    save_checkpoint(ckpt, state, keep=1)
+    fresh = TrainState.create(trainable, tx)
+    restored = restore_checkpoint(latest_checkpoint(ckpt), fresh)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ema_params(restored), ema_params(state),
+    )
