@@ -135,11 +135,20 @@ def convert_opt(sd: _SD, config: OPTConfig) -> dict:
         params["final_norm"] = _ln(dec, "final_layer_norm")
     for i in range(config.num_hidden_layers):
         lsd = dec.sub(f"layers.{i}.")
+        # q/k/v concatenate into the model's packed projection (opt.py stores
+        # one (D, 3D) kernel; each dot output column is independent, so this
+        # is bit-identical to HF's three separate projections)
+        q, k, v = (
+            _linear(lsd, f"self_attn.{n}_proj") for n in ("q", "k", "v")
+        )
         params[f"layers_{i}"] = {
             "self_attn": {
-                "q_proj": _linear(lsd, "self_attn.q_proj"),
-                "k_proj": _linear(lsd, "self_attn.k_proj"),
-                "v_proj": _linear(lsd, "self_attn.v_proj"),
+                "qkv_proj": {
+                    "kernel": np.concatenate(
+                        [q["kernel"], k["kernel"], v["kernel"]], axis=1
+                    ),
+                    "bias": np.concatenate([q["bias"], k["bias"], v["bias"]]),
+                },
                 "out_proj": _linear(lsd, "self_attn.out_proj"),
             },
             "self_attn_layer_norm": _ln(lsd, "self_attn_layer_norm"),

@@ -41,10 +41,13 @@ _IN_BLOCK_BUDGET_BYTES = 9 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _pick_block(b: int, s: int, packed_dim: int, itemsize: int) -> Optional[int]:
+def _pick_block(
+    b: int, s: int, packed_dim: int, itemsize: int,
+    budget: int = _IN_BLOCK_BUDGET_BYTES,
+) -> Optional[int]:
     """Largest fb in {8,4,2,1} whose input block fits the VMEM budget."""
     for fb in (8, 4, 2, 1):
-        if fb * s * packed_dim * itemsize <= _IN_BLOCK_BUDGET_BYTES:
+        if fb * s * packed_dim * itemsize <= budget:
             return fb
     return None
 
@@ -137,3 +140,111 @@ def _xla_packed_fallback(
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhsl,blhd->bshd", probs, v)
     return out.reshape(b, s, num_heads * head_dim)
+
+
+def _packed_causal_kernel(
+    qkv_ref, mask_ref, o_ref, *, num_heads: int, head_dim: int, scale: float
+):
+    x = qkv_ref[:]  # (fb, S, 3*H*HD)
+    m = mask_ref[:, 0, :]  # (fb, S) — shipped (B, 1, S): legal leading-dim block
+    s_len = x.shape[1]
+    d = num_heads * head_dim
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
+    keep = jnp.logical_and((k_pos <= q_pos)[None], (m > 0)[:, None, :])  # (fb,S,S)
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    for h in range(num_heads):
+        lo = h * head_dim
+        # HF OPT ordering: q scaled (and rounded to model dtype) BEFORE the matmul
+        q = (x[:, :, lo : lo + head_dim] * scale).astype(x.dtype)
+        k = x[:, :, d + lo : d + lo + head_dim]
+        v = x[:, :, 2 * d + lo : 2 * d + lo + head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(keep, s, neg)
+        p = jax.nn.softmax(s, axis=-1).astype(x.dtype)  # fp32 softmax (HF OPT)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, lo : lo + head_dim] = o.astype(o_ref.dtype)
+
+
+def packed_qkv_causal_attention(
+    qkv: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    padding_mask: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal + key-padding-masked attention off a packed (B, S, 3*H*D) QKV.
+
+    The OPT prefill hot path (B=4, S~770, head_dim 80): same whole-row-in-VMEM
+    structure as :func:`packed_qkv_attention`, so the (B, H, S, S) fp32 score
+    tensor (~300 MB/layer at the flagship shape) never touches HBM. Numerics
+    preserve HF OPT exactly: q scaled then rounded to model dtype before the
+    matmul, masking with f32 finfo.min, softmax in fp32
+    (transformers OPTAttention; reference drives it via v2.py:124).
+
+    padding_mask: (B, S) 0/1 keep-mask over keys. Queries are at offset 0
+    (prefill-at-0 — the only multi-token case in this framework, opt.py:333).
+    """
+    b, s, packed = qkv.shape
+    d = num_heads * head_dim
+    assert packed == 3 * d, (packed, num_heads, head_dim)
+    if scale is None:
+        scale = head_dim**-0.5
+
+    # OPT prefill rows are wide (S~770 x 7680 packed = ~12 MB at fb=1); the
+    # f32 score block is only fb*S*S*4 (~2.3 MB), so a larger input budget is
+    # safe here than for the short-row ViT kernel
+    fb = _pick_block(b, s, packed, qkv.dtype.itemsize, budget=26 * 1024 * 1024)
+    if fb is None:
+        return _xla_packed_causal_fallback(qkv, num_heads, head_dim, padding_mask, scale)
+
+    pad_b = (-b) % fb
+    if pad_b:
+        qkv = jnp.pad(qkv, ((0, pad_b), (0, 0), (0, 0)))
+        padding_mask = jnp.pad(padding_mask, ((0, pad_b), (0, 0)), constant_values=1)
+    bp = b + pad_b
+
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_causal_kernel, num_heads=num_heads, head_dim=head_dim, scale=scale
+        ),
+        grid=(bp // fb,),
+        in_specs=[
+            pl.BlockSpec((fb, s, packed), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (fb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, s, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * s * s * head_dim,
+            bytes_accessed=(qkv.size + b * s * d) * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(qkv, padding_mask.astype(jnp.int32)[:, None, :])
+    return out[:b] if pad_b else out
+
+
+def _xla_packed_causal_fallback(qkv, num_heads, head_dim, padding_mask, scale):
+    b, s, _ = qkv.shape
+    r = qkv.reshape(b, s, 3, num_heads, head_dim)
+    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+    from .attention import _xla_attention
+
+    return _xla_attention(
+        q, k, v,
+        bias=None, padding_mask=padding_mask, causal=True, q_offset=0,
+        scale=scale, scale_query_first=True, softmax_in_fp32=True,
+    ).reshape(b, s, num_heads * head_dim)

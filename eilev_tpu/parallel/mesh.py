@@ -67,8 +67,8 @@ def _param_spec(path: tuple[str, ...], shape: tuple[int, ...]) -> P:
     """
     name = path[-2] if len(path) >= 2 else path[-1]
     if len(shape) == 2:
-        col = {"q_proj", "k_proj", "v_proj", "fc1", "qkv", "query", "key", "value",
-               "intermediate", "wi", "wi_0", "wi_1", "q", "k", "v"}
+        col = {"q_proj", "k_proj", "v_proj", "qkv_proj", "fc1", "qkv", "query",
+               "key", "value", "intermediate", "wi", "wi_0", "wi_1", "q", "k", "v"}
         row = {"out_proj", "fc2", "o", "projection", "output", "wo", "dense"}
         if name in col:
             return P(None, MODEL_AXIS)

@@ -244,8 +244,19 @@ def hf_state_dict(params: dict, config: VideoBlipConfig) -> dict[str, np.ndarray
         for i in range(tcfg.num_hidden_layers):
             layer = lm[f"layers_{i}"]
             lb = f"{base}.layers.{i}"
-            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
-                _put_linear(out, f"{lb}.self_attn.{proj}", layer["self_attn"][proj])
+            # the packed qkv kernel splits back into HF's three projections
+            d = tcfg.hidden_size
+            qkv = layer["self_attn"]["qkv_proj"]
+            for j, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+                _put_linear(
+                    out,
+                    f"{lb}.self_attn.{proj}",
+                    {
+                        "kernel": _np(qkv["kernel"])[:, j * d : (j + 1) * d],
+                        "bias": _np(qkv["bias"])[j * d : (j + 1) * d],
+                    },
+                )
+            _put_linear(out, f"{lb}.self_attn.out_proj", layer["self_attn"]["out_proj"])
             _put_ln(out, f"{lb}.self_attn_layer_norm", layer["self_attn_layer_norm"])
             _put_ln(out, f"{lb}.final_layer_norm", layer["final_layer_norm"])
             _put_linear(out, f"{lb}.fc1", layer["fc1"])

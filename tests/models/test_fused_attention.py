@@ -61,3 +61,24 @@ def test_dispatch_auto_off_tpu_matches_einsum():
     out = packed_qkv_self_attention(qkv, 3, 8)  # auto -> einsum on CPU
     ref = _xla_packed_fallback(qkv, 3, 8, 8**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_packed_causal_matches_xla():
+    """Causal+masked packed kernel (OPT prefill path): interpret mode vs the
+    XLA reference at OPT-like geometry with left padding."""
+    import numpy as np
+
+    from eilev_tpu.ops.fused_attention import (
+        _xla_packed_causal_fallback,
+        packed_qkv_causal_attention,
+    )
+
+    rng = np.random.default_rng(11)
+    b, s, nh, hd = 2, 24, 4, 8
+    qkv = jnp.asarray(rng.normal(size=(b, s, 3 * nh * hd)), jnp.float32)
+    mask = np.ones((b, s), np.int32)
+    mask[0, :5] = 0  # left padding
+    mask = jnp.asarray(mask)
+    ref = _xla_packed_causal_fallback(qkv, nh, hd, mask, hd**-0.5)
+    got = packed_qkv_causal_attention(qkv, nh, hd, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
