@@ -127,6 +127,13 @@ def main() -> None:
 
     from eilev_tpu.ops.preprocess import process_videos
 
+    if os.environ.get("BENCH_FAST_GELU", "0") == "1":
+        # opt-in serving mode: tanh-poly gelu in the ViT (99.3% bf16-faithful,
+        # ~6.5 ms/layer cheaper than exact erf; ops/gelu.py)
+        from eilev_tpu.ops.gelu import set_gelu_impl
+
+        set_gelu_impl("fast")
+
     # >1: run the ViT in sequential chunks (lax.map) to cap the activation
     # peak — required for batch >= 8, where the monolithic vision stage
     # oversubscribes HBM and XLA spills (measured 25.7 -> 6.1 videos/s)

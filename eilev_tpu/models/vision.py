@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..configs import VisionConfig
 from ..ops.attention import packed_qkv_self_attention
+from ..ops.gelu import gelu
 
 
 class VisionEmbeddings(nn.Module):
@@ -90,7 +91,8 @@ class VisionMLP(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
         x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)  # HF "gelu" = exact erf gelu
+        # HF "gelu" = exact erf; ops.gelu honors the opt-in fast serving mode
+        x = gelu(x)
         return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(x)
 
 
