@@ -209,3 +209,42 @@ def test_epic_kitchens_extract_frames_cli(tmp_path):
     assert rows[0]["narration_text"] == "The camera wearer opens the door."
     assert rows[0]["structured_verb"] == "open"
     assert len(list((frames / rows[0]["frame_path"]).glob("*.png"))) == 4
+
+
+def test_explore_data_cli(fho_world, tmp_path):
+    """scripts/explore_data.py (the data-explorations surface): integrity
+    counts, duration stats, verb/noun distributions, taxonomy coverage."""
+    # add clip timing + one integrity violation to exercise the counters
+    fho = json.load(open(fho_world / "fho_main.json"))
+    for v in fho["videos"]:
+        for itv in v["annotated_intervals"]:
+            for j, a in enumerate(itv["narrated_actions"]):
+                a["start_sec"] = float(j)
+                a["clip_start_sec"] = float(j)
+                a["clip_end_sec"] = float(j) + (9.0 if j % 3 == 0 else 4.0)
+                a["freeform_verb"] = "grabs"
+    fho["videos"][0]["annotated_intervals"][0]["narrated_actions"][0][
+        "is_valid_action"
+    ] = False  # not rejected + not valid -> inconsistent flag
+    (fho_world / "fho_main2.json").write_text(json.dumps(fho))
+    tax = {"verbs": ["take"], "nouns": ["knife"]}
+    (fho_world / "tax.json").write_text(json.dumps(tax))
+
+    out = _run([
+        "scripts/explore_data.py",
+        "--fho_main", str(fho_world / "fho_main2.json"),
+        "--fho_lta_taxonomy", str(fho_world / "tax.json"),
+        "--plot", str(tmp_path / "plots"),
+    ])
+    report = json.loads(out[: out.rindex("}") + 1])
+    assert report["total_actions"] == 21
+    assert report["inconsistent_valid_rejected"] == 1
+    assert report["kept_by_filter"] == 20
+    assert report["duration_sec"]["over_8s"] > 0
+    verbs = dict(map(tuple, report["top_structured_verbs"]))
+    assert set(verbs) == {"take", "cut"}
+    assert report["taxonomy"]["verbs_outside_taxonomy"] == ["cut"]
+    assert report["taxonomy"]["nouns_outside_taxonomy"] == []
+    import os
+
+    assert os.path.exists(tmp_path / "plots" / "action_durations.png")
