@@ -88,14 +88,13 @@ class LlamaAttention(nn.Module):
         cfg = self.config
         hd = cfg.head_dim
         dense = dense_cls(cfg)  # nn.Dense, or Int8Dense when opted in
-        self.q_proj = dense(
-            cfg.num_attention_heads * hd, use_bias=False, dtype=self.dtype, name="q_proj"
-        )
-        self.k_proj = dense(
-            cfg.num_key_value_heads * hd, use_bias=False, dtype=self.dtype, name="k_proj"
-        )
-        self.v_proj = dense(
-            cfg.num_key_value_heads * hd, use_bias=False, dtype=self.dtype, name="v_proj"
+        # q/k/v packed into one projection (bit-identical math — each dot
+        # output column is independent; same decode weight-stream win as the
+        # OPT decoder, models/opt.py). GQA: the packed output is
+        # [q (nh*hd) | k (nkv*hd) | v (nkv*hd)].
+        self.qkv_proj = dense(
+            (cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * hd,
+            use_bias=False, dtype=self.dtype, name="qkv_proj",
         )
         self.o_proj = dense(
             cfg.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj"
@@ -113,9 +112,11 @@ class LlamaAttention(nn.Module):
         cfg = self.config
         b, s, _ = hidden_states.shape
         nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-        q = self.q_proj(hidden_states).reshape(b, s, nh, hd)
-        k = self.k_proj(hidden_states).reshape(b, s, nkv, hd)
-        v = self.v_proj(hidden_states).reshape(b, s, nkv, hd)
+        qkv = self.qkv_proj(hidden_states)
+        dq, dkv = nh * hd, nkv * hd
+        q = qkv[..., :dq].reshape(b, s, nh, hd)
+        k = qkv[..., dq : dq + dkv].reshape(b, s, nkv, hd)
+        v = qkv[..., dq + dkv :].reshape(b, s, nkv, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -307,11 +308,15 @@ def convert_llama(sd, config: LlamaConfig) -> dict:
         params["lm_head"] = _linear(sd, "lm_head", bias=False)
     for i in range(config.num_hidden_layers):
         lsd = mdl.sub(f"layers.{i}.")
+        # q/k/v concatenate into the packed projection (see LlamaAttention)
+        import numpy as _np
+
+        qw = _linear(lsd, "self_attn.q_proj", bias=False)["kernel"]
+        kw = _linear(lsd, "self_attn.k_proj", bias=False)["kernel"]
+        vw = _linear(lsd, "self_attn.v_proj", bias=False)["kernel"]
         params[f"layers_{i}"] = {
             "self_attn": {
-                "q_proj": _linear(lsd, "self_attn.q_proj", bias=False),
-                "k_proj": _linear(lsd, "self_attn.k_proj", bias=False),
-                "v_proj": _linear(lsd, "self_attn.v_proj", bias=False),
+                "qkv_proj": {"kernel": _np.concatenate([qw, kw, vw], axis=1)},
                 "o_proj": _linear(lsd, "self_attn.o_proj", bias=False),
             },
             "mlp": {

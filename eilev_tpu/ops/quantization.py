@@ -35,7 +35,7 @@ import jax.numpy as jnp
 # flax param-tree node names whose "kernel" gets quantized, per decoder family
 OPT_QUANT_NAMES = frozenset({"qkv_proj", "out_proj", "fc1", "fc2"})
 LLAMA_QUANT_NAMES = frozenset(
-    {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
+    {"qkv_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
 )
 QUANT_NAMES = OPT_QUANT_NAMES | LLAMA_QUANT_NAMES
 

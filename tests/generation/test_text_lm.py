@@ -194,7 +194,7 @@ def test_text_lm_int8_llama_runs(llama_checkpoint):
     lm = TextLM(path, dtype=jnp.float32, int8=True)
     assert lm.config.text_config.quantize_matmuls
     # the transformed tree carries int8 kernels
-    leaf = lm.variables["params"]["language_model"]["layers_0"]["self_attn"]["q_proj"]
+    leaf = lm.variables["params"]["language_model"]["layers_0"]["self_attn"]["qkv_proj"]
     assert set(leaf) == {"w8", "scale"} and leaf["w8"].dtype == jnp.int8
     texts = lm.generate(
         ["[INST] Generate a sentence [/INST]"],
