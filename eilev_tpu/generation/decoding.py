@@ -607,9 +607,14 @@ def generate(
     video_input_mask: Optional[jax.Array] = None,
     generation_config: GenerationConfig = GenerationConfig(),
     rng: Optional[jax.Array] = None,
+    vision_chunks: int = 1,
 ) -> jax.Array:
     """Drop-in equivalent of reference ``VideoBlipForConditionalGeneration.generate``
     (v2.py:254-324): encode videos, scatter into the prompt embeddings, decode.
+
+    ``vision_chunks > 1`` runs the ViT in that many sequential pieces
+    (bit-identical; caps the activation peak for large batches — see
+    models/video_blip.py:embed_and_scatter_chunked).
 
     Returns (B, <=max_new_tokens) generated token ids (decoder-only LMs: new tokens
     only; seq2seq: includes the decoder start token, like HF).
@@ -628,9 +633,18 @@ def generate(
     if attention_mask is None:
         attention_mask = jnp.ones_like(input_ids)
 
-    inputs_embeds = model.apply(
-        variables, input_ids, pixel_values, video_input_mask, method=type(model).embed_and_scatter
-    )
+    if vision_chunks > 1 and pixel_values is not None:
+        from ..models.video_blip import embed_and_scatter_chunked
+
+        inputs_embeds = embed_and_scatter_chunked(
+            model, variables, input_ids, pixel_values, video_input_mask,
+            vision_chunks=vision_chunks,
+        )
+    else:
+        inputs_embeds = model.apply(
+            variables, input_ids, pixel_values, video_input_mask,
+            method=type(model).embed_and_scatter,
+        )
     if inputs_embeds.shape[1] != attention_mask.shape[1]:
         # v1 prepends video features; extend the mask with ones on the left
         # (reference-era Blip2ForConditionalGeneration.generate behavior)

@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--model", required=True)
     p.add_argument("--processor", default=None)
     p.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
+    p.add_argument("--vision_chunks", type=int, default=1,
+                   help="run the ViT in N sequential chunks (bit-identical; "
+                        "caps the activation peak for large --batch_size)")
     p.add_argument("--fast_gelu", action="store_true",
                    help="serving mode: tanh-poly vision gelu (99.7%% bf16-"
                         "faithful, ~9%% faster tower; ops/gelu.py)")
@@ -163,6 +166,7 @@ def main() -> None:
             pixel_values=pixel,
             video_input_mask=jnp.asarray(batch["video_input_mask"]),
             generation_config=gen_cfg,
+            vision_chunks=args.vision_chunks,
         )
         return meta, tokens
 
