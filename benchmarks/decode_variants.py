@@ -253,5 +253,46 @@ def main():
            bytes_per_step=(layer_bytes * L + head_bytes) // 2)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("INT8_CACHE_PROBE") != "1":
     main()
+
+
+def int8_cache_probe():
+    """Does an int8 KV cache pay? Times the cache-attention gemv with int8
+    k/v + per-(batch,head) f32 scales dequantized on the fly. If XLA fuses
+    the convert+scale into the dot's operand read (it does for int8
+    weights: 583 GB/s effective), the 3.4 ms cache read halves."""
+    @jax.jit
+    def make(key):
+        ks = jax.random.split(key, 3)
+        x0 = jax.random.normal(ks[0], (B, D), jnp.bfloat16)
+        ck8 = jax.random.randint(ks[1], (L, B, CACHE_LEN, NH, HD), -127, 127, jnp.int8)
+        cv8 = jax.random.randint(ks[2], (L, B, CACHE_LEN, NH, HD), -127, 127, jnp.int8)
+        scale = jnp.full((L, B, 1, NH, 1), 0.01, jnp.float32)
+        return x0, ck8, cv8, scale
+
+    x0, ck8, cv8, scale = make(jax.random.PRNGKey(0))
+    jax.block_until_ready(cv8)
+    cache_bytes = ck8.size + cv8.size  # int8: half the bf16 stream
+
+    def cache_attn_int8(args):
+        x0, ck8, cv8, scale = args
+        def step(t, x):
+            def body(i, h):
+                q = h.reshape(B, 1, NH, HD)
+                k = (ck8[i].astype(jnp.float32) * scale[i]).astype(jnp.bfloat16)
+                v = (cv8[i].astype(jnp.float32) * scale[i]).astype(jnp.bfloat16)
+                scores = jnp.einsum("bshd,blhd->bhsl", q, k)
+                p = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(h.dtype)
+                o = jnp.einsum("bhsl,blhd->bshd", p, v)
+                return h + o.reshape(B, D)
+            return jax.lax.fori_loop(0, L, body, x)
+        out = jax.lax.fori_loop(0, STEPS, step, x0)
+        return jnp.sum(out.astype(jnp.float32))
+
+    timeit("cache attention, int8 kv + dequant", cache_attn_int8,
+           (x0, ck8, cv8, scale), bytes_per_step=cache_bytes)
+
+
+if __name__ == "__main__" and os.environ.get("INT8_CACHE_PROBE") == "1":
+    int8_cache_probe()
