@@ -34,13 +34,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 STAGE_AXIS = "stage"
+DATA_AXIS_PP = "data"
 
 
-def make_pipeline_mesh(stages: int, *, devices=None) -> Mesh:
-    """A 1-D ("stage",) mesh of ``stages`` devices."""
+def make_pipeline_mesh(stages: int, *, data: int = 1, devices=None) -> Mesh:
+    """A ("data", "stage") mesh (data=1 collapses to pipeline-only).
+
+    DP x PP composition: the batch shards over "data" while the layer stack
+    pipelines over "stage" — each data-parallel replica runs its own GPipe
+    schedule, and gradient all-reduces ride "data" as usual.
+    """
     devices = devices if devices is not None else jax.devices()
-    assert stages <= len(devices), (stages, len(devices))
-    return Mesh(np.asarray(devices[:stages]), (STAGE_AXIS,))
+    need = data * stages
+    assert need <= len(devices), (data, stages, len(devices))
+    arr = np.asarray(devices[:need]).reshape(data, stages)
+    return Mesh(arr, (DATA_AXIS_PP, STAGE_AXIS))
 
 
 def stack_layer_params(lm_params: dict, num_layers: int, num_stages: int) -> Any:
@@ -132,11 +140,14 @@ def make_pipeline_trunk(
 
         kwargs = {"check_rep": False}
 
+    # batch (and output) shard over "data" when the mesh carries a data axis;
+    # each data replica runs its own independent GPipe schedule over "stage"
+    batch_spec = P(DATA_AXIS_PP) if DATA_AXIS_PP in mesh.shape else P()
     return shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(STAGE_AXIS), P(), P()),
-        out_specs=P(),
+        in_specs=(P(STAGE_AXIS), batch_spec, batch_spec),
+        out_specs=batch_spec,
         **kwargs,
     )
 

@@ -104,3 +104,21 @@ def test_bubble_and_stage_count_documented():
     S, M = 4, 8
     assert M + S - 1 == 11
     assert (S - 1) / (M + S - 1) == pytest.approx(3 / 11)
+
+
+def test_pipeline_composes_with_data_parallelism(setup):
+    """DP x PP on a (data=2, stage=4) mesh: batch shards over 'data', each
+    replica pipelines its half over 'stage'; output matches sequential."""
+    params, x, mask = setup
+    mesh = make_pipeline_mesh(4, data=2)
+    assert dict(mesh.shape) == {"data": 2, "stage": 4}
+    stacked = shard_stacked(
+        stack_layer_params(params, CFG.num_hidden_layers, 4), mesh
+    )
+    trunk = make_pipeline_trunk(opt_layer_apply(CFG), mesh, num_microbatches=2)
+    got = jax.jit(trunk)(stacked, x, mask)
+    ref = _sequential(params, x, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # gradients flow through the composed mesh too
+    g = jax.jit(jax.grad(lambda sp: jnp.sum(jnp.square(trunk(sp, x, mask)))))(stacked)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
