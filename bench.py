@@ -128,8 +128,8 @@ def main() -> None:
     from eilev_tpu.ops.preprocess import process_videos
 
     if os.environ.get("BENCH_FAST_GELU", "0") == "1":
-        # opt-in serving mode: tanh-poly gelu in the ViT (99.3% bf16-faithful,
-        # ~6.5 ms/layer cheaper than exact erf; ops/gelu.py)
+        # opt-in serving mode: tanh gelu in the ViT (98.9% bf16-faithful,
+        # tower 66 -> 74% MFU; ops/gelu.py)
         from eilev_tpu.ops.gelu import set_gelu_impl
 
         set_gelu_impl("fast")

@@ -37,7 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Largest packed-QKV input block we let one grid step hold (empirically fine on
 # v5e with vmem_limit below; double-buffered by the Mosaic pipeline).
-_IN_BLOCK_BUDGET_BYTES = 9 * 1024 * 1024
+import os as _os
+
+_IN_BLOCK_BUDGET_BYTES = int(
+    _os.environ.get("EILEV_ATTN_BLOCK_BUDGET", str(9 * 1024 * 1024))
+)
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 

@@ -46,8 +46,8 @@ def parse_args():
                    help="run the ViT in N sequential chunks (bit-identical; "
                         "caps the activation peak for large --batch_size)")
     p.add_argument("--fast_gelu", action="store_true",
-                   help="serving mode: tanh-poly vision gelu (99.7%% bf16-"
-                        "faithful, ~9%% faster tower; ops/gelu.py)")
+                   help="serving mode: tanh vision gelu (98.9%% bf16-"
+                        "faithful, tower 66 -> 74%% MFU; ops/gelu.py)")
     p.add_argument("--int8_lm", action="store_true",
                    help="weight-only int8 LM serving path (faster decode; "
                         "near- but not bit-identical logits vs bf16)")
