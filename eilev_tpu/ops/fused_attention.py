@@ -66,8 +66,12 @@ def _packed_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: floa
         v = x[:, :, 2 * d + lo : 2 * d + lo + head_dim]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (fb, S, S) fp32, VMEM-resident
-        p = jax.nn.softmax(s * scale, axis=-1).astype(x.dtype)
+        )  # (fb, S, S) fp32 accumulate, VMEM-resident
+        # HF Blip2 bf16 numerics: the matmul OUTPUT is rounded to model dtype,
+        # the scale applied in model dtype, and torch's softmax upcasts
+        # internally to fp32 — so round here, then fp32 softmax.
+        sb = s.astype(x.dtype) * jnp.asarray(scale, x.dtype)
+        p = jax.nn.softmax(sb.astype(jnp.float32), axis=-1).astype(x.dtype)
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -140,8 +144,10 @@ def _xla_packed_fallback(
     b, s, _ = qkv.shape
     r = qkv.reshape(b, s, 3, num_heads, head_dim)
     q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+    # same numerics as _packed_kernel: scores rounded to input dtype, fp32
+    # softmax (torch upcasts bf16 softmax internally), probs back to dtype
     scores = jnp.einsum("bshd,blhd->bhsl", q, k) * jnp.asarray(scale, q.dtype)
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhsl,blhd->bshd", probs, v)
     return out.reshape(b, s, num_heads * head_dim)
 
@@ -156,7 +162,9 @@ def _packed_causal_kernel(
     q_pos = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 0)
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
     keep = jnp.logical_and((k_pos <= q_pos)[None], (m > 0)[:, None, :])  # (fb,S,S)
-    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    # f32 finfo.min in model dtype — exactly the masking value the XLA path
+    # (ops/attention._xla_attention) applies to its model-dtype score tensor
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, x.dtype)
     for h in range(num_heads):
         lo = h * head_dim
         # HF OPT ordering: q scaled (and rounded to model dtype) BEFORE the matmul
@@ -166,8 +174,10 @@ def _packed_causal_kernel(
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        s = jnp.where(keep, s, neg)
-        p = jax.nn.softmax(s, axis=-1).astype(x.dtype)  # fp32 softmax (HF OPT)
+        # HF bf16 numerics: the bmm output is ROUNDED to model dtype before
+        # masking; only the softmax runs in fp32 (OPTAttention upcasts).
+        sb = jnp.where(keep, s.astype(x.dtype), neg)
+        p = jax.nn.softmax(sb.astype(jnp.float32), axis=-1).astype(x.dtype)
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
