@@ -9,10 +9,11 @@ uses beam 5 with ``length_penalty=-1`` - reference
 TPU-native structure:
   - greedy/sampling run as one ``lax.scan`` over a preallocated fixed-shape KV
     cache - a single compiled program, zero host round-trips per token;
-  - beam search keeps the per-token model step compiled (prefill + decode step +
-    cache reorder all jitted) while the HF ``BeamSearchScorer`` bookkeeping
-    (hypothesis sets, early-stopping heuristics) runs host-side in numpy, which
-    reproduces HF semantics exactly without dynamic shapes on device.
+  - beam search runs FULLY on device: the HF ``BeamSearchScorer`` bookkeeping
+    (hypothesis heaps, early-stopping) is expressed as fixed-shape device state
+    inside the same ``lax.while_loop`` as the model step (see ``_beam_engine``),
+    so beam workloads pipeline exactly like greedy — one compiled program per
+    (batch, beams, max_new), zero host round-trips per token.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..configs import OPTConfig, VideoBlipConfig
+from ..configs import OPTConfig, T5Config, VideoBlipConfig
 from ..models import opt as opt_mod
 from ..models.video_blip import VideoBlipForConditionalGeneration as VB
 from .config import GenerationConfig
@@ -426,10 +427,25 @@ def _beam_search_decoder_only_device(
 ):
     b = inputs_embeds.shape[0]
     nb = gen_cfg.num_beams
-    embeds = jnp.repeat(inputs_embeds, nb, axis=0)
-    mask = jnp.repeat(attention_mask, nb, axis=0)
-    last_logits, cache = _prefill(model, variables, embeds, mask, gen_cfg.max_new_tokens)
-    logprobs0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
+    # Prefill ONCE per batch row, then tile the KV cache across beams: the nb
+    # beam copies of a prompt are identical, so repeating inputs_embeds before
+    # prefill (as HF does) would pay nb x the prefill FLOPs (~0.14 s x 5 at the
+    # flagship beam-5 shape) to compute nb identical caches. The tile is a
+    # plain HBM copy. Beam order is batch-major (row*nb + beam), matching the
+    # flat_idx convention in _beam_engine.
+    last_logits, cache = _prefill(
+        model, variables, inputs_embeds, attention_mask, gen_cfg.max_new_tokens
+    )
+    cache = {
+        "k": jnp.repeat(cache["k"], nb, axis=1),
+        "v": jnp.repeat(cache["v"], nb, axis=1),
+        "index": cache["index"],
+        "mask": jnp.repeat(cache["mask"], nb, axis=0),
+        "pos": jnp.repeat(cache["pos"], nb, axis=0),
+    }
+    logprobs0 = jax.nn.log_softmax(
+        jnp.repeat(last_logits, nb, axis=0).astype(jnp.float32), axis=-1
+    )
 
     def step_fn(tokens, cache):
         embeds = model.apply(variables, tokens[:, None], method=VB.lm_embed)
@@ -497,14 +513,24 @@ def _beam_search_seq2seq_device(
     nb = gen_cfg.num_beams
 
     encoder_hidden = model.apply(variables, inputs_embeds, attention_mask, method=VB.t5_encode)
-    encoder_hidden = jnp.repeat(encoder_hidden, nb, axis=0)
-    enc_mask = jnp.repeat(attention_mask, nb, axis=0)
+    # Build the decode cache (incl. cross-attention K/V projections) ONCE per
+    # batch row, then tile across beams — the beam copies are identical, so
+    # projecting a pre-repeated encoder_hidden would pay nb x the cross-KV
+    # FLOPs for the same result (same dedup as the decoder-only prefill).
     cache = model.apply(
         variables,
         encoder_hidden,
         gen_cfg.max_new_tokens + 1,
         method=lambda mdl, h, n: mdl.language_model.init_decode_cache(h, n),
     )
+    cache = {
+        key: (jnp.repeat(val, nb, axis=1) if key != "index" else val)
+        for key, val in cache.items()
+    }
+    # encoder_hidden is unused by cached decode steps (cross K/V live in the
+    # cache) but decode_step's signature takes it; the mask IS used.
+    encoder_hidden = jnp.repeat(encoder_hidden, nb, axis=0)
+    enc_mask = jnp.repeat(attention_mask, nb, axis=0)
 
     def step_fn(tokens, cache):
         logits, cache = model.apply(
@@ -620,14 +646,18 @@ def generate(
     only; seq2seq: includes the decoder start token, like HF).
     """
     cfg: VideoBlipConfig = model.config
+    if not isinstance(cfg.text_config, (OPTConfig, T5Config)):
+        # A LLaMA text_config would otherwise silently route to the T5 branch
+        # below. LLaMA decoding lives in generation.text_lm.TextLM (the
+        # reference only backs VideoBLIP with OPT or Flan-T5 — v2.py:124).
+        raise NotImplementedError(
+            f"generate() supports OPT and T5 text configs, got "
+            f"{type(cfg.text_config).__name__}; for LLaMA-family LMs use "
+            "eilev_tpu.generation.text_lm.TextLM"
+        )
     gen_cfg = generation_config
     if gen_cfg.eos_token_id is None:
-        eos = (
-            cfg.text_config.eos_token_id
-            if isinstance(cfg.text_config, OPTConfig)
-            else cfg.text_config.eos_token_id
-        )
-        gen_cfg = gen_cfg.with_eos(eos)
+        gen_cfg = gen_cfg.with_eos(cfg.text_config.eos_token_id)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if attention_mask is None:
