@@ -59,17 +59,27 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 def _param_spec(path: tuple[str, ...], shape: tuple[int, ...]) -> P:
-    """Tensor-parallel layout for VideoBLIP params.
+    """Tensor-parallel layout for VideoBLIP / LLaMA params.
 
-    Column-parallel (output dim on "model"): q/k/v projections, fc1/wi, qkv.
-    Row-parallel (input dim on "model"): out_proj/o/projection, fc2/wo.
-    Embeddings shard vocab on "model". Everything else replicated.
+    Column-parallel (output dim on "model"): q/k/v projections, fc1/wi,
+    LLaMA gate/up. Row-parallel (input dim on "model"): out_proj/o_proj/
+    projection, fc2/wo, LLaMA down. Embeddings shard vocab on "model".
+    Everything else replicated.
+
+    The PACKED ``qkv_proj`` kernels (OPT [q|k|v], LLaMA GQA [q|k|v]) are
+    column-sharded too: the later per-third slice crosses shard boundaries,
+    which GSPMD resolves with one small all-gather of the qkv ACTIVATION
+    (docs/DESIGN.md "Packed-QKV under tensor parallelism" for the measured
+    HLO). The weight matrix itself — the thing TP exists to shard — stays
+    evenly split.
     """
     name = path[-2] if len(path) >= 2 else path[-1]
     if len(shape) == 2:
         col = {"q_proj", "k_proj", "v_proj", "qkv_proj", "fc1", "qkv", "query",
-               "key", "value", "intermediate", "wi", "wi_0", "wi_1", "q", "k", "v"}
-        row = {"out_proj", "fc2", "o", "projection", "output", "wo", "dense"}
+               "key", "value", "intermediate", "wi", "wi_0", "wi_1", "q", "k", "v",
+               "gate_proj", "up_proj", "lm_head"}
+        row = {"out_proj", "fc2", "o", "projection", "output", "wo", "dense",
+               "o_proj", "down_proj"}
         if name in col:
             return P(None, MODEL_AXIS)
         if name in row:
