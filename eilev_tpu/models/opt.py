@@ -313,6 +313,24 @@ class OPTForCausalLM(nn.Module):
     def embed(self, input_ids: jax.Array) -> jax.Array:
         return self.embed_tokens(input_ids)
 
+    # ---- pipeline-parallel plumbing (parallel/pipeline.py) ----------------
+    # The layer trunk runs OUTSIDE flax as a shard_map pipeline over stacked
+    # layer params; these two methods expose everything around it.
+
+    def pre_layers(self, inputs_embeds: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        """Everything __call__ does before the layer stack (no cache, no
+        dropout — the PP trunk runs the frozen LM deterministically)."""
+        position_ids = opt_position_ids(attention_mask.astype(jnp.int32))
+        pos_embeds = self.embed_positions(position_ids + 2)
+        x = inputs_embeds
+        if self.project_in is not None:
+            x = self.project_in(x)
+        return x + pos_embeds
+
+    def post_layers(self, x: jax.Array) -> jax.Array:
+        """Final norm + projection + tied lm head after the layer stack."""
+        return self._head(x)
+
     def lm_head(self, hidden: jax.Array) -> jax.Array:
         # Tied to embed_tokens, like OPTForCausalLM.
         return self.embed_tokens.attend(hidden)

