@@ -256,7 +256,11 @@ def main() -> None:
         @jax.jit
         def full_step_int8(variables, pixel_u8):
             pixel = process_videos(pixel_u8, dtype=jnp.bfloat16)
-            embeds = qmodel.apply(variables, ids_d, pixel, vim_d, method=VB.embed_and_scatter)
+            # honor BENCH_VISION_CHUNKS like the bf16 leg: at batch >= 8 the
+            # monolithic ViT spills HBM and would understate the int8 gain
+            embeds = embed_and_scatter_chunked(
+                qmodel, variables, ids_d, pixel, vim_d, vision_chunks=vision_chunks
+            )
             return _greedy_sample_decoder_only(qmodel, variables, embeds, mask_d, gen_cfg, rng)
 
         np.asarray(full_step_int8(qvariables, pixel_dev[0]))  # compile

@@ -24,7 +24,15 @@ _IMPL = "exact"
 
 
 def set_gelu_impl(impl: str) -> None:
-    """'exact' (default, HF parity) | 'fast' (tanh, serving-mode)."""
+    """'exact' (default, HF parity) | 'fast' (tanh, serving-mode).
+
+    IMPORTANT: the switch is read at TRACE time, so it must be set BEFORE the
+    first compile of any program that uses gelu. An already-jitted program
+    (e.g. a warmed-up ``generate``/``full_step``) keeps whatever impl was
+    active when it was traced; switching later silently has no effect on it.
+    The serving CLIs set this before building the model for exactly this
+    reason (scripts/generate_narration_texts.py --fast_gelu).
+    """
     global _IMPL
     assert impl in ("exact", "fast"), impl
     _IMPL = impl

@@ -39,4 +39,12 @@ import eilev_tpu.utils
 print("imports OK")
 EOF
 
+echo "== mypy =="
+if command -v mypy >/dev/null 2>&1; then
+    mypy eilev_tpu scripts bench.py
+else
+    # this sandbox has no mypy and no network; CI installs and runs it
+    echo "mypy not installed; skipped (runs in CI via .github/workflows/test.yaml)"
+fi
+
 echo "OK"
