@@ -234,7 +234,14 @@ def main() -> None:
         from eilev_tpu.ops.quantization import quantize_lm_params
 
         qcfg = configs.replace(
-            cfg, text_config=dataclasses.replace(cfg.text_config, quantize_matmuls=True)
+            cfg,
+            text_config=dataclasses.replace(
+                cfg.text_config,
+                quantize_matmuls=True,
+                # BENCH_INT8_KV=1 additionally halves the decode cache stream
+                # via the Pallas VMEM-dequant kernel (ops/decode_attention.py)
+                int8_kv_cache=os.environ.get("BENCH_INT8_KV", "0") == "1",
+            ),
         )
         qmodel = VideoBlipForConditionalGeneration(qcfg, dtype=jnp.bfloat16)
 

@@ -91,6 +91,10 @@ class OPTConfig:
     # OPT-IN int8 weight-only serving path (ops/quantization.py); off by
     # default because the north star demands bf16-parity greedy output
     quantize_matmuls: bool = False
+    # OPT-IN int8 KV cache (ops/decode_attention.py): halves the decode-step
+    # cache stream via a Pallas kernel that dequantizes in VMEM. Serving-mode
+    # only, like quantize_matmuls.
+    int8_kv_cache: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -126,6 +130,9 @@ class LlamaConfig:
     pad_token_id: int = 0
     # OPT-IN int8 weight-only serving path (ops/quantization.py)
     quantize_matmuls: bool = False
+    # OPT-IN int8 KV cache via the Pallas VMEM-dequant decode kernel
+    # (ops/decode_attention.py, GQA-aware); serving mode like quantize_matmuls
+    int8_kv_cache: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -57,10 +57,15 @@ class TextLM:
     generate text. LLaMA is the reference's model for these workloads
     (generate_std_sent.py:24-45)."""
 
-    def __init__(self, path: str, dtype=jnp.bfloat16, int8: bool = False):
+    def __init__(
+        self, path: str, dtype=jnp.bfloat16, int8: bool = False,
+        int8_kv: bool = False,
+    ):
         """``int8=True`` opts into the weight-only int8 serving path
         (ops/quantization.py) — halves the HBM weight stream decode is bound
-        on; logits are near- but not bit-identical to bf16."""
+        on; logits are near- but not bit-identical to bf16. ``int8_kv=True``
+        additionally stores the KV cache in int8, read through the
+        GQA-aware Pallas VMEM-dequant kernel (ops/decode_attention.py)."""
         import dataclasses
 
         from ..models.auto import load_tokenizer
@@ -92,8 +97,10 @@ class TextLM:
                 f"TextLM supports LLaMA- and OPT-family decoder-only checkpoints; "
                 f"got {hf.get('model_type')!r}."
             )
-        if int8:
-            text_cfg = dataclasses.replace(text_cfg, quantize_matmuls=True)
+        if int8 or int8_kv:
+            text_cfg = dataclasses.replace(
+                text_cfg, quantize_matmuls=int8, int8_kv_cache=int8_kv
+            )
         self.config = VideoBlipConfig(text_config=text_cfg)
         self.module = _TextOnlyModule(self.config, dtype=dtype)
         self.tokenizer = load_tokenizer(path)

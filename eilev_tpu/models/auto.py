@@ -101,30 +101,40 @@ def load_model(
     dtype=jnp.float32,
     param_dtype=None,
     int8_lm: bool = False,
+    int8_kv: bool = False,
 ):
     """Load a save_pretrained dir -> (model module, {'params': ...}, config).
 
     ``int8_lm=True`` opts the language model into the weight-only int8 serving
     path (ops/quantization.py): halves the LM weight stream the decode step is
-    HBM-bound on. Not bit-parity with bf16 — off by default.
+    HBM-bound on. ``int8_kv=True`` additionally stores the decode KV cache in
+    int8, read through the Pallas VMEM-dequant kernel
+    (ops/decode_attention.py): halves the cache stream too — the dominant
+    decode cost at batch >= 8. Neither is bit-parity with bf16 — off by
+    default.
     """
     with open(os.path.join(path, "config.json")) as f:
         hf_cfg = json.load(f)
     config = config_from_hf_dict(hf_cfg)
-    if int8_lm:
+    if int8_lm or int8_kv:
         import dataclasses
 
         from ..configs import replace as cfg_replace
-        from ..ops.quantization import quantize_lm_params
 
         if not isinstance(config.text_config, OPTConfig):
-            raise ValueError("int8_lm currently supports OPT-family LMs only")
+            raise ValueError("int8_lm/int8_kv currently support OPT-family LMs only")
         config = cfg_replace(
             config,
-            text_config=dataclasses.replace(config.text_config, quantize_matmuls=True),
+            text_config=dataclasses.replace(
+                config.text_config,
+                quantize_matmuls=int8_lm,
+                int8_kv_cache=int8_kv,
+            ),
         )
     params = load_hf_checkpoint(path, config, dtype=param_dtype)
     if int8_lm:
+        from ..ops.quantization import quantize_lm_params
+
         params = dict(params)
         params["language_model"] = quantize_lm_params(params["language_model"])
     cls = (

@@ -80,6 +80,12 @@ class LlamaRMSNorm(nn.Module):
         return (weight * xf.astype(self.dtype)).astype(self.dtype)
 
 
+def _use_llama_decode_kernel() -> bool:
+    from ..ops.attention import _on_tpu, get_default_attention_impl
+
+    return _on_tpu() and get_default_attention_impl() != "xla"
+
+
 class LlamaAttention(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.float32
@@ -121,7 +127,41 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin)
 
         new_kv = None
-        if cache_kv is not None and len(cache_kv) == 3:
+        if cache_kv is not None and len(cache_kv) == 5:
+            # stacked int8 cache: quantize post-RoPE rows, write values+scales
+            from ..ops.decode_attention import dequantize_kv, quantize_kv
+
+            k_buf, v_buf, ks_buf, vs_buf, li = cache_kv
+            k8, k_sc = quantize_kv(k)
+            v8, v_sc = quantize_kv(v)
+            k_buf = jax.lax.dynamic_update_slice(k_buf, k8[None], (li, 0, cache_index, 0, 0))
+            v_buf = jax.lax.dynamic_update_slice(v_buf, v8[None], (li, 0, cache_index, 0, 0))
+            ks_buf = jax.lax.dynamic_update_slice(ks_buf, k_sc[None], (li, 0, cache_index, 0))
+            vs_buf = jax.lax.dynamic_update_slice(vs_buf, v_sc[None], (li, 0, cache_index, 0))
+            new_kv = (k_buf, v_buf, ks_buf, vs_buf)
+            if s == 1 and _use_llama_decode_kernel():
+                from ..ops.decode_attention import decode_attention_stacked
+
+                nl, _, s_len = k_buf.shape[:3]
+                out = decode_attention_stacked(
+                    q.reshape(b, nh * hd),
+                    k_buf.reshape(nl, b, s_len, nkv * hd),
+                    v_buf.reshape(nl, b, s_len, nkv * hd),
+                    attn["padding_mask"],
+                    li,
+                    num_heads=nh,
+                    head_dim=hd,
+                    kv_heads=nkv,
+                    scale=hd**-0.5,
+                    scale_query=False,  # HF LLaMA scales the scores
+                    k_scale=ks_buf,
+                    v_scale=vs_buf,
+                )
+                return self.o_proj(out[:, None, :]), new_kv
+            # fallback (CPU tests): materialized dequant, reference numerics
+            k = dequantize_kv(k_buf[li], ks_buf[li], dtype=hidden_states.dtype)
+            v = dequantize_kv(v_buf[li], vs_buf[li], dtype=hidden_states.dtype)
+        elif cache_kv is not None and len(cache_kv) == 3:
             # stacked-buffer form: in-place row update (see models/opt.py)
             k_buf, v_buf, li = cache_kv
             k_buf = jax.lax.dynamic_update_slice(
@@ -249,9 +289,15 @@ class LlamaForCausalLM(nn.Module):
         position_ids: Optional[jax.Array] = None,
         cache: Optional[Cache] = None,
         deterministic: bool = True,
+        cache_append: bool = False,
     ) -> tuple[jax.Array, Optional[Cache]]:
         """Same contract as OPTForCausalLM.__call__ (models/opt.py:281-295)."""
         del deterministic  # llama has no dropout in inference-serving role
+        if cache_append:
+            raise NotImplementedError(
+                "multi-token cache append (speculative verify) is implemented "
+                "for OPT only; LLaMA decoding goes token by token"
+            )
         cfg = self.config
         b, s, _ = inputs_embeds.shape
         if attention_mask is None:
@@ -282,16 +328,29 @@ class LlamaForCausalLM(nn.Module):
 
         k_buf = cache["k"] if cache is not None else None
         v_buf = cache["v"] if cache is not None else None
+        int8_cache = cache is not None and "k_scale" in cache
+        ks_buf = cache["k_scale"] if int8_cache else None
+        vs_buf = cache["v_scale"] if int8_cache else None
         for i, layer in enumerate(self.layers):
-            ckv = (k_buf, v_buf, i) if cache is not None else None
+            if cache is None:
+                ckv = None
+            elif int8_cache:
+                ckv = (k_buf, v_buf, ks_buf, vs_buf, i)
+            else:
+                ckv = (k_buf, v_buf, i)
             x, new_kv = layer(x, cos, sin, attn, cache_kv=ckv, cache_index=cache_index)
-            if new_kv is not None:
+            if new_kv is not None and int8_cache:
+                k_buf, v_buf, ks_buf, vs_buf = new_kv
+            elif new_kv is not None:
                 k_buf, v_buf = new_kv
 
         logits = self._head(x)
         if new_cache is not None:
             new_cache["k"] = k_buf
             new_cache["v"] = v_buf
+            if int8_cache:
+                new_cache["k_scale"] = ks_buf
+                new_cache["v_scale"] = vs_buf
         return logits, new_cache
 
 

@@ -24,6 +24,7 @@ TPU-native design choices (not ports):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -47,6 +48,20 @@ def _use_fused_causal() -> bool:
 
     return _on_tpu() and get_default_attention_impl() in ("auto", "fused", "flash")
 
+
+# bf16 decode-attention kernel switch (int8 caches always use the kernel on
+# TPU — it is the only path that collects the halved cache stream). Default
+# off pending a measured win over XLA's batched gemv; see docs/PERF.md.
+_BF16_DECODE_KERNEL = os.environ.get("EILEV_BF16_DECODE_KERNEL", "0") == "1"
+
+
+def _use_decode_kernel(bf16: bool = False) -> bool:
+    from ..ops.attention import _on_tpu, get_default_attention_impl
+
+    if not _on_tpu() or get_default_attention_impl() == "xla":
+        return False
+    return _BF16_DECODE_KERNEL if bf16 else True
+
 Cache = dict[str, Any]
 
 
@@ -65,16 +80,29 @@ def init_cache(config, batch: int, max_len: int, dtype=jnp.float32) -> Cache:
     the filled prefix (so left padding inside the prompt keeps masking during
     decode); ``pos`` is the next position id per sequence (count of attended
     tokens so far).
+
+    With ``config.int8_kv_cache`` (serving mode) k/v are int8 and per-(position,
+    head) bf16 dequant scales ride in ``k_scale``/``v_scale``; the decode step
+    reads them through the Pallas kernel in ops/decode_attention.py, which
+    dequantizes in VMEM (halving the cache HBM stream — the win XLA's
+    materialized dequant loses, docs/PERF.md).
     """
     kv_heads = getattr(config, "num_key_value_heads", config.num_attention_heads)
     shape = (config.num_hidden_layers, batch, max_len, kv_heads, config.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
+    cache: Cache = {
         "index": jnp.zeros((), jnp.int32),
         "mask": jnp.zeros((batch, max_len), jnp.int32),
         "pos": jnp.zeros((batch,), jnp.int32),
     }
+    if getattr(config, "int8_kv_cache", False):
+        cache["k"] = jnp.zeros(shape, jnp.int8)
+        cache["v"] = jnp.zeros(shape, jnp.int8)
+        cache["k_scale"] = jnp.zeros(shape[:-1], jnp.bfloat16)
+        cache["v_scale"] = jnp.zeros(shape[:-1], jnp.bfloat16)
+    else:
+        cache["k"] = jnp.zeros(shape, dtype)
+        cache["v"] = jnp.zeros(shape, dtype)
+    return cache
 
 
 class OPTAttention(nn.Module):
@@ -103,7 +131,10 @@ class OPTAttention(nn.Module):
         (B, L, H, hd), or (k_buf, v_buf, layer_idx) STACKED buffers of shape
         (num_layers, B, L, H, hd) updated in place with one dynamic_update_slice
         — the stacked form avoids the slice+restack full-cache copy per decode
-        step (the carried buffer aliases in place under the while_loop)."""
+        step (the carried buffer aliases in place under the while_loop). With an
+        int8 cache the stacked form is (k_buf, v_buf, k_scale, v_scale,
+        layer_idx) and the single-token decode read goes through the Pallas
+        kernel in ops/decode_attention.py (dequant in VMEM)."""
         cfg = self.config
         b, s, d = hidden_states.shape
         nh, hd = cfg.num_attention_heads, cfg.head_dim
@@ -114,7 +145,37 @@ class OPTAttention(nn.Module):
         prefill_fresh = attn.get("prefill_fresh", False)
 
         new_kv = None
-        if cache_kv is not None and len(cache_kv) == 3:
+        if cache_kv is not None and len(cache_kv) == 5:
+            # stacked int8 cache: quantize the fresh rows, write values+scales
+            from ..ops.decode_attention import dequantize_kv, quantize_kv
+
+            k_buf, v_buf, ks_buf, vs_buf, li = cache_kv
+            k8, k_sc = quantize_kv(k)
+            v8, v_sc = quantize_kv(v)
+            k_buf = jax.lax.dynamic_update_slice(
+                k_buf, k8[None], (li, 0, cache_index, 0, 0)
+            )
+            v_buf = jax.lax.dynamic_update_slice(
+                v_buf, v8[None], (li, 0, cache_index, 0, 0)
+            )
+            ks_buf = jax.lax.dynamic_update_slice(
+                ks_buf, k_sc[None], (li, 0, cache_index, 0)
+            )
+            vs_buf = jax.lax.dynamic_update_slice(
+                vs_buf, v_sc[None], (li, 0, cache_index, 0)
+            )
+            new_kv = (k_buf, v_buf, ks_buf, vs_buf)
+            if not prefill_fresh:
+                if s == 1 and _use_decode_kernel():
+                    out = self._decode_kernel_out(
+                        qkv, k_buf, v_buf, attn["padding_mask"], li,
+                        k_scale=ks_buf, v_scale=vs_buf,
+                    )
+                    return self.out_proj(out), new_kv
+                # fallback (CPU tests): materialized dequant, reference numerics
+                k = dequantize_kv(k_buf[li], ks_buf[li], dtype=hidden_states.dtype)
+                v = dequantize_kv(v_buf[li], vs_buf[li], dtype=hidden_states.dtype)
+        elif cache_kv is not None and len(cache_kv) == 3:
             k_buf, v_buf, li = cache_kv
             k_buf = jax.lax.dynamic_update_slice(
                 k_buf, k[None].astype(k_buf.dtype), (li, 0, cache_index, 0, 0)
@@ -124,6 +185,11 @@ class OPTAttention(nn.Module):
             )
             new_kv = (k_buf, v_buf)
             if not prefill_fresh:
+                if s == 1 and _use_decode_kernel(bf16=True):
+                    out = self._decode_kernel_out(
+                        qkv, k_buf, v_buf, attn["padding_mask"], li
+                    )
+                    return self.out_proj(out), new_kv
                 k, v = k_buf[li], v_buf[li]
         elif cache_kv is not None:
             ck, cv = cache_kv
@@ -153,6 +219,33 @@ class OPTAttention(nn.Module):
         )
         out = out.reshape(b, s, d)
         return self.out_proj(out), new_kv
+
+    def _decode_kernel_out(
+        self, qkv, k_buf, v_buf, padding_mask, li,
+        k_scale=None, v_scale=None,
+    ) -> jax.Array:
+        """Single-token decode attention through the Pallas stacked-cache
+        kernel (ops/decode_attention.py). Returns (B, 1, D)."""
+        from ..ops.decode_attention import decode_attention_stacked
+
+        cfg = self.config
+        nh, hd = cfg.num_attention_heads, cfg.head_dim
+        d = nh * hd
+        b = qkv.shape[0]
+        nl, _, s_len = k_buf.shape[:3]
+        out = decode_attention_stacked(
+            qkv[:, 0, :d],
+            k_buf.reshape(nl, b, s_len, d),
+            v_buf.reshape(nl, b, s_len, d),
+            padding_mask,
+            li,
+            num_heads=nh,
+            head_dim=hd,
+            scale=hd**-0.5,
+            k_scale=k_scale,
+            v_scale=v_scale,
+        )
+        return out[:, None, :]
 
     def shared_prefix(
         self,
@@ -349,6 +442,7 @@ class OPTForCausalLM(nn.Module):
         position_ids: Optional[jax.Array] = None,
         cache: Optional[Cache] = None,
         deterministic: bool = True,
+        cache_append: bool = False,
     ) -> tuple[jax.Array, Optional[Cache]]:
         """inputs_embeds: (B, S, word_embed_proj_dim).
 
@@ -356,6 +450,11 @@ class OPTForCausalLM(nn.Module):
         derived HF-style. With cache: the S tokens are appended at
         ``cache['index']``; ``attention_mask`` is their (B, S) mask (default ones);
         padding of the already-cached prefix is tracked inside the cache.
+
+        ``cache_append=True`` marks a MULTI-token append into a partially
+        filled cache (speculative-decoding verify blocks): each appended query
+        j attends cache slots < index + j + 1 via a traced-offset causal bias,
+        instead of the prefill-at-0 fast path.
         """
         cfg = self.config
         b, s, _ = inputs_embeds.shape
@@ -381,7 +480,18 @@ class OPTForCausalLM(nn.Module):
             # cache in this framework, so the causal query offset is statically
             # 0; single-token decode needs no causal mask (the newest token may
             # attend everything filled).
-            if s > 1:
+            if s > 1 and cache_append:
+                # mid-cache multi-token append (speculative verify): query j
+                # sits at slot index+j and may attend filled slots <= index+j.
+                # index is traced, so causality folds into one additive bias.
+                max_len = full_mask.shape[1]
+                slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 3)
+                qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 2)
+                keep = jnp.logical_and(
+                    slots <= index + qpos, full_mask[:, None, None, :].astype(bool)
+                )
+                attn = {"bias": mask_to_bias(keep), "causal": False}
+            elif s > 1:
                 # prefill-at-0: attending the fresh (B, S) k/v under the short
                 # mask is identical math to attending the padded cache buffers
                 # (unfilled slots are masked out either way), and it lets the
@@ -405,22 +515,36 @@ class OPTForCausalLM(nn.Module):
         x = self.embed_dropout(x, deterministic=deterministic)
 
         # stacked-buffer cache threading: each layer dynamic-update-slices its
-        # row of the (L, B, S, H, hd) buffers in place (no slice+restack copy)
+        # row of the (L, B, S, H, hd) buffers in place (no slice+restack copy).
+        # int8 caches additionally thread the per-(position, head) scale bufs.
         k_buf = cache["k"] if cache is not None else None
         v_buf = cache["v"] if cache is not None else None
+        int8_cache = cache is not None and "k_scale" in cache
+        ks_buf = cache["k_scale"] if int8_cache else None
+        vs_buf = cache["v_scale"] if int8_cache else None
         for i, layer in enumerate(self.layers):
-            ckv = (k_buf, v_buf, i) if cache is not None else None
+            if cache is None:
+                ckv = None
+            elif int8_cache:
+                ckv = (k_buf, v_buf, ks_buf, vs_buf, i)
+            else:
+                ckv = (k_buf, v_buf, i)
             x, new_kv = layer(
                 x, attn, cache_kv=ckv, cache_index=cache_index,
                 deterministic=deterministic,
             )
-            if new_kv is not None:
+            if new_kv is not None and int8_cache:
+                k_buf, v_buf, ks_buf, vs_buf = new_kv
+            elif new_kv is not None:
                 k_buf, v_buf = new_kv
 
         logits = self._head(x)
         if new_cache is not None:
             new_cache["k"] = k_buf
             new_cache["v"] = v_buf
+            if int8_cache:
+                new_cache["k_scale"] = ks_buf
+                new_cache["v_scale"] = vs_buf
         return logits, new_cache
 
     def score_with_prefix(
@@ -434,6 +558,11 @@ class OPTForCausalLM(nn.Module):
         Returns logits of shape (B, C, L, vocab). The prompt cache is read-only and
         never duplicated across classes.
         """
+        if "k_scale" in cache:
+            raise NotImplementedError(
+                "classify/score_with_prefix needs a bf16 KV cache; disable "
+                "int8_kv_cache for classification workloads"
+            )
         b, c, l, _ = class_embeds.shape
         cls_mask = class_attention_mask.astype(jnp.int32)  # (B, C, L)
 

@@ -51,6 +51,14 @@ def parse_args():
     p.add_argument("--int8_lm", action="store_true",
                    help="weight-only int8 LM serving path (faster decode; "
                         "near- but not bit-identical logits vs bf16)")
+    p.add_argument("--int8_kv", action="store_true",
+                   help="int8 KV cache via the Pallas VMEM-dequant decode "
+                        "kernel (halves the cache stream; serving mode)")
+    p.add_argument("--draft_layers", type=int, default=0,
+                   help="> 0: token-identical speculative greedy decoding "
+                        "with the first N layers self-drafting")
+    p.add_argument("--draft_tokens", type=int, default=4,
+                   help="draft tokens per verify pass (with --draft_layers)")
     p.add_argument("--eval_frames_dir", required=True)
     p.add_argument("--eval_annotation_file")
     p.add_argument("--in_context_query_map_file", required=True)
@@ -84,7 +92,9 @@ def main() -> None:
         from eilev_tpu.ops.gelu import set_gelu_impl
 
         set_gelu_impl("fast")
-    model, variables, config = load_model(args.model, dtype=dtype, int8_lm=args.int8_lm)
+    model, variables, config = load_model(
+        args.model, dtype=dtype, int8_lm=args.int8_lm, int8_kv=args.int8_kv
+    )
     tokenizer = load_tokenizer(args.processor or args.model)
 
     decoder_only = config.use_decoder_only_language_model
@@ -167,6 +177,8 @@ def main() -> None:
             video_input_mask=jnp.asarray(batch["video_input_mask"]),
             generation_config=gen_cfg,
             vision_chunks=args.vision_chunks,
+            draft_layers=args.draft_layers or None,
+            draft_tokens=args.draft_tokens,
         )
         return meta, tokens
 
