@@ -437,11 +437,12 @@ def _beam_search_decoder_only_device(
         model, variables, inputs_embeds, attention_mask, gen_cfg.max_new_tokens
     )
     cache = {
-        "k": jnp.repeat(cache["k"], nb, axis=1),
-        "v": jnp.repeat(cache["v"], nb, axis=1),
-        "index": cache["index"],
-        "mask": jnp.repeat(cache["mask"], nb, axis=0),
-        "pos": jnp.repeat(cache["pos"], nb, axis=0),
+        key: (
+            val
+            if key == "index"
+            else jnp.repeat(val, nb, axis=1 if key in ("k", "v", "k_scale", "v_scale") else 0)
+        )
+        for key, val in cache.items()
     }
     logprobs0 = jax.nn.log_softmax(
         jnp.repeat(last_logits, nb, axis=0).astype(jnp.float32), axis=-1
@@ -460,8 +461,9 @@ def _beam_search_decoder_only_device(
 
     def reorder_fn(cache, idx):
         out = dict(cache)
-        for key in ("k", "v"):
-            out[key] = jnp.take(cache[key], idx, axis=1)
+        for key in ("k", "v", "k_scale", "v_scale"):
+            if key in cache:
+                out[key] = jnp.take(cache[key], idx, axis=1)
         out["mask"] = jnp.take(cache["mask"], idx, axis=0)
         out["pos"] = jnp.take(cache["pos"], idx, axis=0)
         return out
@@ -634,6 +636,8 @@ def generate(
     generation_config: GenerationConfig = GenerationConfig(),
     rng: Optional[jax.Array] = None,
     vision_chunks: int = 1,
+    draft_layers: Optional[int] = None,
+    draft_tokens: int = 4,
 ) -> jax.Array:
     """Drop-in equivalent of reference ``VideoBlipForConditionalGeneration.generate``
     (v2.py:254-324): encode videos, scatter into the prompt embeddings, decode.
@@ -641,6 +645,10 @@ def generate(
     ``vision_chunks > 1`` runs the ViT in that many sequential pieces
     (bit-identical; caps the activation peak for large batches — see
     models/video_blip.py:embed_and_scatter_chunked).
+
+    ``draft_layers=k`` (decoder-only greedy) switches to speculative decoding
+    with the target's first k layers self-drafting ``draft_tokens`` tokens per
+    verify pass — TOKEN-IDENTICAL output (generation/speculative.py).
 
     Returns (B, <=max_new_tokens) generated token ids (decoder-only LMs: new tokens
     only; seq2seq: includes the decoder start token, like HF).
@@ -687,6 +695,19 @@ def generate(
     if isinstance(cfg.text_config, OPTConfig):
         if gen_cfg.num_beams > 1:
             return _beam_search_decoder_only(model, variables, inputs_embeds, attention_mask, gen_cfg)
+        if draft_layers and not gen_cfg.do_sample:
+            from ..models.opt import OPTForCausalLM
+            from .speculative import make_self_draft, speculative_greedy_decode
+
+            lm_params = variables["params"]["language_model"]
+            draft_model, draft_params = make_self_draft(
+                cfg.text_config, lm_params, draft_layers, model.dtype
+            )
+            target_lm = OPTForCausalLM(cfg.text_config, dtype=model.dtype)
+            return speculative_greedy_decode(
+                target_lm, lm_params, draft_model, draft_params,
+                inputs_embeds, attention_mask, gen_cfg, gamma=draft_tokens,
+            )
         return _greedy_sample_decoder_only(
             model, variables, inputs_embeds, attention_mask, gen_cfg, rng
         )

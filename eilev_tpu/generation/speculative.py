@@ -1,0 +1,200 @@
+"""Greedy speculative decoding for the narration workload (decoder-only LMs).
+
+The decode loop is weight-stream-bound (~10 ms/step ≈ the HBM floor at the
+flagship shape — benchmarks/decode_structure.py), so the one step-count lever
+left is verifying several tokens per weight pass. This implements greedy
+speculative decoding: a cheap DRAFT proposes ``gamma`` tokens, the target
+verifies all of them in ONE multi-token forward (same weight stream as a
+single step), and the longest agreeing prefix plus the target's correction
+token are emitted. Output is TOKEN-IDENTICAL to plain greedy decoding by
+construction — verification recomputes the target's own argmax at every
+position (tested in tests/generation/test_speculative.py).
+
+Draft: any decoder-only LM sharing the target's embedding space. The built-in
+choice is SELF-drafting with the first ``draft_layers`` of the target
+(:func:`make_self_draft`) — zero extra weights to load, and the truncated
+stack shares the full model's embeddings/head, the standard early-exit draft.
+
+Batched semantics: the per-iteration global advance is the MINIMUM accepted
+length over unfinished rows (the cache keeps one scalar fill index). Rows
+that accepted more simply re-derive those tokens next iteration — greedy is
+deterministic, so the output is unchanged; only the speedup shrinks with
+batch. The reference's own 16-shot generation protocol runs batch 1 per
+device (/root/reference/slurm-scripts/README.md:71-76), where min == the
+row's own acceptance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import OPTConfig
+from ..models import opt as opt_mod
+from ..models.opt import OPTForCausalLM
+from .config import GenerationConfig
+
+
+def make_self_draft(text_config: OPTConfig, lm_params: dict, num_layers: int, dtype):
+    """Truncated-stack draft: the target's first ``num_layers`` decoder layers
+    plus its embeddings / final norm / tied head, as a standalone OPT."""
+    import dataclasses
+
+    cfg = dataclasses.replace(text_config, num_hidden_layers=num_layers)
+    keep = {"embed_tokens", "embed_positions", "final_norm", "project_in", "project_out"}
+    params = {
+        k: v
+        for k, v in lm_params.items()
+        if k in keep or (k.startswith("layers_") and int(k.split("_")[1]) < num_layers)
+    }
+    return OPTForCausalLM(cfg, dtype=dtype), params
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "draft_model", "gen_cfg", "gamma")
+)
+def speculative_greedy_decode(
+    model: OPTForCausalLM,
+    lm_params: dict,
+    draft_model: OPTForCausalLM,
+    draft_params: dict,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    gen_cfg: GenerationConfig,
+    gamma: int = 4,
+) -> jax.Array:
+    """Token-identical greedy decode with draft-and-verify batching.
+
+    Returns (B, max_new_tokens) generated ids, pad-filled after eos — the
+    same contract as decoding._greedy_sample_decoder_only.
+    """
+    assert not gen_cfg.do_sample, "speculative path implements greedy only"
+    b, s, _ = inputs_embeds.shape
+    max_new = gen_cfg.max_new_tokens
+    pad = gen_cfg.pad_token_id
+    eos = tuple(gen_cfg.eos_token_id or ())
+    cache_len = s + max_new + gamma + 2
+
+    def eos_hit(t):
+        hit = jnp.zeros(t.shape, bool)
+        for e in eos:
+            hit = hit | (t == e)
+        return hit
+
+    t_cache = opt_mod.init_cache(model.config, b, cache_len, dtype=inputs_embeds.dtype)
+    d_cache = opt_mod.init_cache(
+        draft_model.config, b, cache_len, dtype=inputs_embeds.dtype
+    )
+    t_logits, t_cache = model.apply(
+        {"params": lm_params}, inputs_embeds, attention_mask=attention_mask,
+        cache=t_cache,
+    )
+    d_logits, d_cache = draft_model.apply(
+        {"params": draft_params}, inputs_embeds, attention_mask=attention_mask,
+        cache=d_cache,
+    )
+    del d_logits  # the draft re-derives its continuation from `pending`
+    # the target's next token is known from the prefill logits
+    pending = jnp.argmax(t_logits[:, -1], -1).astype(jnp.int32)
+
+    out0 = jnp.full((b, max_new + gamma + 2), pad, jnp.int32)
+    finished0 = jnp.zeros((b,), bool)
+    # emit `pending` as token 0
+    pending = jnp.where(finished0, pad, pending)
+    fin0 = finished0 | eos_hit(pending)
+    out0 = out0.at[:, 0].set(pending)
+
+    def embed(mdl, params, tok):
+        return mdl.apply({"params": params}, tok, method=OPTForCausalLM.embed)
+
+    def cond(carry):
+        n_emitted, _, _, _, finished, _ = carry
+        return jnp.logical_and(n_emitted < max_new, ~jnp.all(finished))
+
+    def body(carry):
+        n_emitted, t_cache, d_cache, pending, finished, out = carry
+
+        # ---- draft gamma tokens (gamma+1 single-token draft steps, so the
+        # draft cache ends up valid through the whole block) ----
+        def dstep(c, _):
+            d_cache, tok = c
+            logits, d_cache = draft_model.apply(
+                {"params": draft_params},
+                embed(draft_model, draft_params, tok[:, None]),
+                attention_mask=jnp.ones((b, 1), jnp.int32),
+                cache=d_cache,
+            )
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return (d_cache, nxt), nxt
+
+        (d_cache, _), drafts = jax.lax.scan(
+            dstep, (d_cache, pending), None, length=gamma + 1
+        )
+        drafts = drafts[:gamma].T  # (B, gamma); the gamma+1-th is cache-fill only
+
+        # ---- verify: one target pass over [pending, d_1..d_gamma] ----
+        block = jnp.concatenate([pending[:, None], drafts], axis=1)  # (B, gamma+1)
+        v_logits, t_cache = model.apply(
+            {"params": lm_params},
+            embed(model, lm_params, block),
+            attention_mask=jnp.ones((b, gamma + 1), jnp.int32),
+            cache=t_cache,
+            cache_append=True,
+        )
+        targets = jnp.argmax(v_logits, -1).astype(jnp.int32)  # (B, gamma+1)
+        # y_i (i in 1..gamma+1) = target token after consuming block[:i]
+        agree = drafts == targets[:, :gamma]  # d_i vs y_i
+        a_row = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)  # (B,)
+        amin = jnp.min(jnp.where(finished, gamma, a_row))
+
+        # ---- emissions: d_1..d_amin then y_{amin+1} (uniform across rows:
+        # rows with a_row > amin have d_{amin+1} == y_{amin+1}) ----
+        correction = jax.lax.dynamic_index_in_dim(targets, amin, 1, keepdims=False)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, gamma + 1), 1)
+        emit0 = jnp.concatenate(
+            [drafts, jnp.full((b, 1), pad, jnp.int32)], axis=1
+        )  # (B, gamma+1)
+        emit = jnp.where(
+            col < amin, emit0, jnp.where(col == amin, correction[:, None], pad)
+        )
+        # per-row eos/finished: pad everything after the first eos
+        emit = jnp.where(finished[:, None], pad, emit)
+        hits = eos_hit(emit) & (col <= amin)
+        first_eos = jnp.min(jnp.where(hits, col, gamma + 1), axis=1)
+        emit = jnp.where(col > first_eos[:, None], pad, emit)
+        new_finished = finished | (first_eos <= gamma)
+
+        out = jax.lax.dynamic_update_slice(out, emit, (0, n_emitted))
+
+        # ---- roll both caches back to the accepted prefix ----
+        t_new_index = t_cache["index"] - (gamma + 1) + (amin + 1)
+        d_new_index = d_cache["index"] - (gamma + 1) + (amin + 1)
+
+        def trim(cache, new_index):
+            cache = dict(cache)
+            max_len = cache["mask"].shape[1]
+            slot = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+            cache["mask"] = jnp.where(slot < new_index, cache["mask"], 0)
+            cache["pos"] = cache["pos"] - (cache["index"] - new_index)
+            cache["index"] = new_index
+            return cache
+
+        t_cache = trim(t_cache, t_new_index)
+        d_cache = trim(d_cache, d_new_index)
+
+        new_pending = jnp.where(new_finished, pad, correction)
+        return (
+            n_emitted + amin + 1,
+            t_cache,
+            d_cache,
+            new_pending,
+            new_finished,
+            out,
+        )
+
+    carry = (jnp.ones((), jnp.int32), t_cache, d_cache, pending, fin0, out0)
+    _, _, _, _, _, out = jax.lax.while_loop(cond, body, carry)
+    return out[:, :max_new]

@@ -170,8 +170,12 @@ class VideoBlipForConditionalGeneration(nn.Module):
         inputs_embeds: jax.Array,
         attention_mask: Optional[jax.Array] = None,
         cache: Optional[dict] = None,
+        cache_append: bool = False,
     ):
-        return self.language_model(inputs_embeds, attention_mask=attention_mask, cache=cache)
+        return self.language_model(
+            inputs_embeds, attention_mask=attention_mask, cache=cache,
+            cache_append=cache_append,
+        )
 
     def lm_score_with_prefix(
         self, class_embeds: jax.Array, class_attention_mask: jax.Array, cache: dict
