@@ -80,6 +80,21 @@ def main():
     embeds = embeds_fn(variables)
     mask_d = jnp.asarray(mask, jnp.int32)
 
+    # time prefill alone so the per-step number can EXCLUDE it (round-2 PERF.md
+    # quoted ms_per_step_incl_prefill as the decode step — a 4.4 ms/step
+    # overstatement at the flagship shape; the real decode step is ~10 ms)
+    prefill_fn = jax.jit(
+        lambda va, e: jnp.sum(_prefill(model, va, e, mask_d, gen_cfg.max_new_tokens)[0])
+    )
+    float(prefill_fn(variables, embeds))
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(prefill_fn(variables, embeds))
+        ts.append(time.perf_counter() - t0)
+    prefill_sec = float(np.median(ts))
+    print(json.dumps({"loop": "prefill only", "sec": round(prefill_sec, 4)}), flush=True)
+
     runs = {
         "while_loop (early-exit machinery)": jax.jit(
             lambda va, e: jnp.sum(_greedy_sample_decoder_only(model, va, e, mask_d, gen_cfg, rng))
@@ -96,9 +111,11 @@ def main():
             float(fn(variables, embeds))
             ts.append(time.perf_counter() - t0)
         med = float(np.median(ts))
-        print(json.dumps({"loop": name, "sec": round(med, 4),
-                          "ms_per_step_incl_prefill": round(1000 * med / MAX_NEW_TOKENS, 2)}),
-              flush=True)
+        print(json.dumps({
+            "loop": name, "sec": round(med, 4),
+            "ms_per_step_incl_prefill": round(1000 * med / MAX_NEW_TOKENS, 2),
+            "ms_per_decode_step": round(1000 * (med - prefill_sec) / MAX_NEW_TOKENS, 2),
+        }), flush=True)
 
 
 if __name__ == "__main__":
