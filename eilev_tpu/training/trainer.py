@@ -15,6 +15,7 @@ queue of ready device batches so PNG decode/augmentation overlaps device compute
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 import time
@@ -75,6 +76,10 @@ class TrainerConfig:
     pipeline_parallel: int = 0
     # microbatches per GPipe schedule; the per-data-shard batch must divide it
     pipeline_microbatches: int = 4
+    # (start, stop) step interval to capture a jax.profiler trace for,
+    # written to <output_dir>/trace (view with xprof/tensorboard). The
+    # reference has no profiling at all (SURVEY.md section 5).
+    profile_steps: Optional[tuple] = None
 
 
 class _Prefetcher:
@@ -335,9 +340,21 @@ class Trainer:
         )
         t_last = time.perf_counter()
         videos_since = 0
+        tracing = False
         for batch in it:
             if cfg.num_train_steps is not None and int(self.state.step) >= cfg.num_train_steps:
                 break
+            if cfg.profile_steps is not None:
+                lo, hi = cfg.profile_steps
+                now_step = int(self.state.step)
+                if not tracing and now_step == lo:
+                    jax.profiler.start_trace(
+                        str(os.path.join(cfg.output_dir, "trace"))
+                    )
+                    tracing = True
+                elif tracing and now_step >= hi:
+                    jax.profiler.stop_trace()
+                    tracing = False
             self.state, metrics = self._step_fn(self.state, self.frozen, batch)
             step = int(self.state.step)
             if "pixel_values" in batch:

@@ -153,3 +153,47 @@ def test_trainer_async_save_resume(tmp_path):
         trainer2.state.trainable,
         state.trainable,
     )
+
+
+def test_profile_steps_writes_trace(tmp_path):
+    """profile_steps=(lo, hi) captures a jax.profiler trace to output_dir/trace."""
+    import os
+
+    from eilev_tpu import configs
+    from eilev_tpu.models import VideoBlipForConditionalGeneration
+    from eilev_tpu.training import OptimizerConfig
+    from eilev_tpu.training.trainer import Trainer, TrainerConfig
+
+    cfg = configs.tiny_config()
+    model = VideoBlipForConditionalGeneration(cfg)
+    from .test_train_step import _tiny_batch
+
+    batch = _tiny_batch(cfg, accum=1, micro_b=2)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(batch["input_ids"][0]),
+        pixel_values=jnp.asarray(batch["pixel_values"][0]),
+        video_input_mask=jnp.asarray(batch["video_input_mask"][0]),
+    )["params"]
+
+    def train_batches(seed):
+        for _ in range(3):
+            yield batch
+
+    t = Trainer(
+        model, params,
+        TrainerConfig(
+            output_dir=str(tmp_path), num_train_steps=3,
+            gradient_accumulation_steps=1,
+            optimizer=OptimizerConfig(warmup_steps=0, total_steps=3),
+            eval_steps=0, save_steps=0, log_steps=100, dropout=False,
+            load_best_model_at_end=False, profile_steps=(1, 2),
+        ),
+        train_batches,
+        mesh=__import__("eilev_tpu.parallel", fromlist=["make_mesh"]).make_mesh(
+            data=2, devices=jax.devices()[:2]
+        ),
+    )
+    t.train()
+    trace_dir = tmp_path / "trace"
+    assert trace_dir.exists() and any(trace_dir.rglob("*")), "no trace captured"
