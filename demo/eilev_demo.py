@@ -33,13 +33,16 @@ NUM_FRAMES = 8
 class EilevChat:
     """Interleaved chat state + generation (framework-agnostic core)."""
 
-    def __init__(self, model_path: str, processor_path=None, dtype_name: str = "bf16"):
+    def __init__(self, model_path: str, processor_path=None, dtype_name: str = "bf16",
+                 int8_lm: bool = False, int8_kv: bool = False):
         import jax.numpy as jnp
 
         from eilev_tpu.models.auto import load_model, load_tokenizer
 
         self.dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
-        self.model, self.variables, self.config = load_model(model_path, dtype=self.dtype)
+        self.model, self.variables, self.config = load_model(
+            model_path, dtype=self.dtype, int8_lm=int8_lm, int8_kv=int8_kv
+        )
         self.tokenizer = load_tokenizer(processor_path or model_path)
         self.reset()
 
@@ -215,6 +218,10 @@ def main() -> None:
     p.add_argument("--model", required=True)
     p.add_argument("--processor", default=None)
     p.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
+    p.add_argument("--int8_lm", action="store_true",
+                   help="weight-only int8 LM serving mode (ops/quantization.py)")
+    p.add_argument("--int8_kv", action="store_true",
+                   help="int8 KV cache via the Pallas VMEM-dequant kernel")
     p.add_argument("--terminal", action="store_true", help="force terminal mode")
     p.add_argument("--stream", action="store_true",
                    help="terminal mode: stream tokens as they decode (greedy; "
@@ -222,7 +229,10 @@ def main() -> None:
     p.add_argument("--share", action="store_true")
     args = p.parse_args()
 
-    chat = EilevChat(args.model, args.processor, args.dtype)
+    chat = EilevChat(
+        args.model, args.processor, args.dtype,
+        int8_lm=args.int8_lm, int8_kv=args.int8_kv,
+    )
     if args.terminal or args.stream:
         run_terminal(chat, stream=args.stream)
         return
