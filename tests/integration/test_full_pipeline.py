@@ -224,3 +224,38 @@ def test_verify_quality_full_pipeline(world, tmp_path):
     assert "quality parity PASSED" in proc.stdout
     data = json.load(open(out_json))
     assert "2" in data["results"] and "rougeL" in data["results"]["2"]
+
+
+def test_generate_cli_serving_modes(world):
+    """--int8_kv and --draft_layers on the serving CLI: both run end to end on
+    the tiny checkpoint, and speculative output is byte-identical to the plain
+    run (token-identity guarantee at the CLI surface)."""
+    frames_dir = world / "frames"
+    map_file = str(world / "icl-map-2-shot.jsonl")
+    if not frames_dir.exists() or not os.path.exists(map_file):
+        pytest.skip("sample/generate test must run first")
+
+    def gen(out_name, *extra):
+        out_csv = str(world / out_name)
+        _run(
+            [
+                "scripts/generate_narration_texts.py",
+                "--model", str(world / "checkpoint"),
+                "--dtype", "fp32",
+                "--eval_frames_dir", str(frames_dir),
+                "--in_context_query_map_file", map_file,
+                "--in_context_example_frames_dir", str(frames_dir),
+                "--batch_size", "2",
+                "--num_eval_datapoints", "2",
+                "--generation_config", '{"max_new_tokens": 4}',
+                "--output_csv", out_csv,
+                *extra,
+            ]
+        )
+        return [r["generated"] for r in csv.DictReader(open(out_csv))]
+
+    plain = gen("gen-plain.csv")
+    spec = gen("gen-spec.csv", "--draft_layers", "1", "--draft_tokens", "2")
+    assert spec == plain
+    int8kv = gen("gen-int8kv.csv", "--int8_kv")
+    assert len(int8kv) == 2  # lossy mode: runs, output well-formed
