@@ -81,9 +81,15 @@ class LlamaRMSNorm(nn.Module):
 
 
 def _use_llama_decode_kernel() -> bool:
+    # measured negative at the flagship decode shape (see models/opt.py) —
+    # int8 caches default to XLA's materialized dequant; env-gated experiment
+    import os
+
     from ..ops.attention import _on_tpu, get_default_attention_impl
 
-    return _on_tpu() and get_default_attention_impl() != "xla"
+    if not _on_tpu() or get_default_attention_impl() == "xla":
+        return False
+    return os.environ.get("EILEV_DECODE_KERNEL", "0") == "1"
 
 
 class LlamaAttention(nn.Module):

@@ -49,10 +49,15 @@ def _use_fused_causal() -> bool:
     return _on_tpu() and get_default_attention_impl() in ("auto", "fused", "flash")
 
 
-# bf16 decode-attention kernel switch (int8 caches always use the kernel on
-# TPU — it is the only path that collects the halved cache stream). Default
-# off pending a measured win over XLA's batched gemv; see docs/PERF.md.
+# Decode-attention Pallas kernel switches — MEASURED NEGATIVE at the flagship
+# decode shape (docs/PERF.md round 3): the per-head lane extraction that is
+# amortized by real MXU work in the prefill/ViT kernels dominates a
+# single-query step (bf16 kernel 119 ms/step, int8 81, vs 10.46 XLA). Both
+# default OFF; int8 caches read through XLA's materialized dequant (2.9 vs
+# 3.4 ms cache read, and the full HBM-capacity halving either way). The
+# kernels remain env-selectable for future shapes.
 _BF16_DECODE_KERNEL = os.environ.get("EILEV_BF16_DECODE_KERNEL", "0") == "1"
+_INT8_DECODE_KERNEL = os.environ.get("EILEV_DECODE_KERNEL", "0") == "1"
 
 
 def _use_decode_kernel(bf16: bool = False) -> bool:
@@ -60,7 +65,7 @@ def _use_decode_kernel(bf16: bool = False) -> bool:
 
     if not _on_tpu() or get_default_attention_impl() == "xla":
         return False
-    return _BF16_DECODE_KERNEL if bf16 else True
+    return _BF16_DECODE_KERNEL if bf16 else _INT8_DECODE_KERNEL
 
 Cache = dict[str, Any]
 
