@@ -38,19 +38,24 @@ from ..models.opt import OPTForCausalLM
 from .config import GenerationConfig
 
 
-def make_self_draft(text_config: OPTConfig, lm_params: dict, num_layers: int, dtype):
+def make_self_draft(text_config, lm_params: dict, num_layers: int, dtype):
     """Truncated-stack draft: the target's first ``num_layers`` decoder layers
-    plus its embeddings / final norm / tied head, as a standalone OPT."""
+    plus everything around the stack (embeddings, final norm, head), as a
+    standalone decoder of the same family (OPT or LLaMA — any config with
+    ``num_hidden_layers`` whose flax tree names layers ``layers_i``)."""
     import dataclasses
 
     cfg = dataclasses.replace(text_config, num_hidden_layers=num_layers)
-    keep = {"embed_tokens", "embed_positions", "final_norm", "project_in", "project_out"}
     params = {
         k: v
         for k, v in lm_params.items()
-        if k in keep or (k.startswith("layers_") and int(k.split("_")[1]) < num_layers)
+        if not k.startswith("layers_") or int(k.split("_")[1]) < num_layers
     }
-    return OPTForCausalLM(cfg, dtype=dtype), params
+    if isinstance(text_config, OPTConfig):
+        return OPTForCausalLM(cfg, dtype=dtype), params
+    from ..models.llama import LlamaForCausalLM
+
+    return LlamaForCausalLM(cfg, dtype=dtype), params
 
 
 @functools.partial(
@@ -108,7 +113,7 @@ def speculative_greedy_decode(
     out0 = out0.at[:, 0].set(pending)
 
     def embed(mdl, params, tok):
-        return mdl.apply({"params": params}, tok, method=OPTForCausalLM.embed)
+        return mdl.apply({"params": params}, tok, method=type(mdl).embed)
 
     def cond(carry):
         n_emitted, _, _, _, finished, _ = carry

@@ -128,7 +128,12 @@ class TextLM:
         prompts: list[str],
         generation_config: Optional[GenerationConfig] = None,
         rng=None,
+        draft_layers: int = 0,
+        draft_tokens: int = 4,
     ) -> list[str]:
+        """``draft_layers > 0``: token-identical speculative greedy decoding
+        with the target's first N layers self-drafting ``draft_tokens`` per
+        verify pass (generation/speculative.py; OPT and LLaMA)."""
         import numpy as np
 
         from ..data.collate import _pad_1d
@@ -150,6 +155,23 @@ class TextLM:
         if gen_cfg.num_beams > 1:
             tokens = _beam_search_decoder_only(
                 self.module, self.variables, embeds, jnp.asarray(mask), gen_cfg
+            )
+        elif draft_layers and not gen_cfg.do_sample:
+            from ..configs import OPTConfig as _OPTConfig
+            from ..models.llama import LlamaForCausalLM
+            from ..models.opt import OPTForCausalLM
+            from .speculative import make_self_draft, speculative_greedy_decode
+
+            tcfg = self.config.text_config
+            lm_params = self.variables["params"]["language_model"]
+            draft_model, draft_params = make_self_draft(
+                tcfg, lm_params, draft_layers, self.module.dtype
+            )
+            cls = OPTForCausalLM if isinstance(tcfg, _OPTConfig) else LlamaForCausalLM
+            target = cls(tcfg, dtype=self.module.dtype)
+            tokens = speculative_greedy_decode(
+                target, lm_params, draft_model, draft_params,
+                embeds, jnp.asarray(mask), gen_cfg, gamma=draft_tokens,
             )
         else:
             tokens = _greedy_sample_decoder_only(

@@ -297,13 +297,11 @@ class LlamaForCausalLM(nn.Module):
         deterministic: bool = True,
         cache_append: bool = False,
     ) -> tuple[jax.Array, Optional[Cache]]:
-        """Same contract as OPTForCausalLM.__call__ (models/opt.py:281-295)."""
+        """Same contract as OPTForCausalLM.__call__ (models/opt.py:281-295);
+        ``cache_append`` marks a multi-token append into a partially filled
+        cache (speculative verify blocks) — causality becomes a traced-offset
+        bias like the OPT path."""
         del deterministic  # llama has no dropout in inference-serving role
-        if cache_append:
-            raise NotImplementedError(
-                "multi-token cache append (speculative verify) is implemented "
-                "for OPT only; LLaMA decoding goes token by token"
-            )
         cfg = self.config
         b, s, _ = inputs_embeds.shape
         if attention_mask is None:
@@ -324,8 +322,21 @@ class LlamaForCausalLM(nn.Module):
                 pos = cache["pos"][:, None] + new_counts - 1
                 position_ids = jnp.where(attention_mask == 0, 1, pos)
             new_pos = cache["pos"] + new_counts[:, -1]
-            # see models/opt.py:316-321 for why causal is static here
-            attn = {"causal": s > 1, "padding_mask": full_mask}
+            if s > 1 and cache_append:
+                # mid-cache multi-token append: query j sits at slot index+j
+                # and may attend filled slots <= index+j (traced offset)
+                from ..ops.attention import mask_to_bias
+
+                max_len = full_mask.shape[1]
+                slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 3)
+                qpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 2)
+                keep = jnp.logical_and(
+                    slots <= index + qpos, full_mask[:, None, None, :].astype(bool)
+                )
+                attn = {"bias": mask_to_bias(keep), "causal": False}
+            else:
+                # see models/opt.py:316-321 for why causal is static here
+                attn = {"causal": s > 1, "padding_mask": full_mask}
             cache_index = index
             new_cache = {"index": index + s, "mask": full_mask, "pos": new_pos}
 

@@ -124,3 +124,60 @@ def test_speculative_respects_eos(tiny):
         )
     )
     np.testing.assert_array_equal(spec, plain)
+
+
+def test_speculative_llama_matches_stepwise_greedy():
+    """LLaMA path: cache_append verify + spec loop == plain stepwise greedy."""
+    from eilev_tpu.configs import LlamaConfig
+    from eilev_tpu.models.llama import LlamaForCausalLM
+    from eilev_tpu.generation.speculative import (
+        make_self_draft,
+        speculative_greedy_decode,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        max_position_embeddings=128,
+    )
+    model = LlamaForCausalLM(cfg)
+
+    def init_all(mdl):
+        return mdl(mdl.embed(jnp.zeros((1, 4), jnp.int32)))
+
+    params = model.init(jax.random.PRNGKey(0), method=init_all)["params"]
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, size=(2, 9)))
+    mask = jnp.ones_like(ids)
+    embeds = model.apply({"params": params}, ids, method=LlamaForCausalLM.embed)
+    max_new = 8
+
+    # plain stepwise greedy reference
+    cache = opt_mod.init_cache(cfg, 2, ids.shape[1] + max_new + 8, jnp.float32)
+    logits, cache = model.apply(
+        {"params": params}, embeds, attention_mask=mask, cache=cache
+    )
+    toks = []
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    for _ in range(max_new):
+        toks.append(np.asarray(tok))
+        step = model.apply({"params": params}, tok[:, None], method=LlamaForCausalLM.embed)
+        logits, cache = model.apply(
+            {"params": params}, step, attention_mask=jnp.ones((2, 1), jnp.int32),
+            cache=cache,
+        )
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    plain = np.stack(toks, axis=1)
+
+    gen = GenerationConfig(max_new_tokens=max_new, pad_token_id=0,
+                           eos_token_id=(cfg.vocab_size + 5,))
+    for draft_layers, gamma in [(1, 3), (4, 2)]:
+        draft_model, draft_params = make_self_draft(cfg, params, draft_layers, None)
+        draft_model = type(draft_model)(draft_model.config)  # fp32 like target
+        spec = np.asarray(
+            speculative_greedy_decode(
+                LlamaForCausalLM(cfg), params, draft_model, draft_params,
+                embeds, mask, gen, gamma=gamma,
+            )
+        )
+        np.testing.assert_array_equal(spec, plain)
