@@ -233,6 +233,7 @@ def main() -> None:
 
         from eilev_tpu.ops.quantization import quantize_lm_params
 
+        int8_vision = os.environ.get("BENCH_INT8_VISION", "0") == "1"
         qcfg = configs.replace(
             cfg,
             text_config=dataclasses.replace(
@@ -243,12 +244,24 @@ def main() -> None:
                 int8_kv_cache=os.environ.get("BENCH_INT8_KV", "0") == "1",
             ),
         )
+        if int8_vision:
+            # BENCH_INT8_VISION=1: W8A8 vision GEMMs on the int8 MXU path
+            qcfg = configs.replace(
+                qcfg,
+                vision_config=dataclasses.replace(
+                    qcfg.vision_config, quantize_matmuls=True
+                ),
+            )
         qmodel = VideoBlipForConditionalGeneration(qcfg, dtype=jnp.bfloat16)
 
         @jax.jit
         def quantize(params):
+            from eilev_tpu.ops.quantization import quantize_vision_params
+
             p = dict(params)
             p["language_model"] = quantize_lm_params(p["language_model"])
+            if int8_vision:
+                p["vision_model"] = quantize_vision_params(p["vision_model"])
             return p
 
         qvariables = {"params": quantize(params)}

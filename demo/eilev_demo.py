@@ -34,14 +34,16 @@ class EilevChat:
     """Interleaved chat state + generation (framework-agnostic core)."""
 
     def __init__(self, model_path: str, processor_path=None, dtype_name: str = "bf16",
-                 int8_lm: bool = False, int8_kv: bool = False):
+                 int8_lm: bool = False, int8_kv: bool = False,
+                 int8_vision: bool = False):
         import jax.numpy as jnp
 
         from eilev_tpu.models.auto import load_model, load_tokenizer
 
         self.dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
         self.model, self.variables, self.config = load_model(
-            model_path, dtype=self.dtype, int8_lm=int8_lm, int8_kv=int8_kv
+            model_path, dtype=self.dtype, int8_lm=int8_lm, int8_kv=int8_kv,
+            int8_vision=int8_vision,
         )
         self.tokenizer = load_tokenizer(processor_path or model_path)
         self.reset()
@@ -222,6 +224,8 @@ def main() -> None:
                    help="weight-only int8 LM serving mode (ops/quantization.py)")
     p.add_argument("--int8_kv", action="store_true",
                    help="int8 KV cache via the Pallas VMEM-dequant kernel")
+    p.add_argument("--int8_vision", action="store_true",
+                   help="W8A8 vision tower on the int8 MXU path (serving mode)")
     p.add_argument("--terminal", action="store_true", help="force terminal mode")
     p.add_argument("--stream", action="store_true",
                    help="terminal mode: stream tokens as they decode (greedy; "
@@ -232,6 +236,7 @@ def main() -> None:
     chat = EilevChat(
         args.model, args.processor, args.dtype,
         int8_lm=args.int8_lm, int8_kv=args.int8_kv,
+        int8_vision=args.int8_vision,
     )
     if args.terminal or args.stream:
         run_terminal(chat, stream=args.stream)

@@ -31,6 +31,10 @@ class VisionConfig:
     qkv_bias: bool = True
     # "gelu" == exact (erf) gelu in HF's ACT2FN.
     hidden_act: str = "gelu"
+    # Opt-in W8A8 serving mode: int8 weights x dynamically-quantized int8
+    # activations on the v5e int8 MXU path (394 TOPS, 2x bf16) for the
+    # qkv/projection/fc1/fc2 GEMMs. NOT bit-parity — see ops/quantization.py.
+    quantize_matmuls: bool = False
 
     @property
     def num_patches(self) -> int:

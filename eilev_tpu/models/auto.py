@@ -102,6 +102,7 @@ def load_model(
     param_dtype=None,
     int8_lm: bool = False,
     int8_kv: bool = False,
+    int8_vision: bool = False,
 ):
     """Load a save_pretrained dir -> (model module, {'params': ...}, config).
 
@@ -110,8 +111,10 @@ def load_model(
     HBM-bound on. ``int8_kv=True`` additionally stores the decode KV cache in
     int8, read through the Pallas VMEM-dequant kernel
     (ops/decode_attention.py): halves the cache stream too — the dominant
-    decode cost at batch >= 8. Neither is bit-parity with bf16 — off by
-    default.
+    decode cost at batch >= 8. ``int8_vision=True`` runs the (MXU-bound)
+    vision tower's GEMMs as W8A8 on the int8 MXU path — measured 1.2-1.8x on
+    v5e (benchmarks/int8_mxu_probe.py). None is bit-parity with bf16 — off
+    by default.
     """
     with open(os.path.join(path, "config.json")) as f:
         hf_cfg = json.load(f)
@@ -131,12 +134,28 @@ def load_model(
                 int8_kv_cache=int8_kv,
             ),
         )
+    if int8_vision:
+        import dataclasses
+
+        from ..configs import replace as cfg_replace
+
+        config = cfg_replace(
+            config,
+            vision_config=dataclasses.replace(
+                config.vision_config, quantize_matmuls=True
+            ),
+        )
     params = load_hf_checkpoint(path, config, dtype=param_dtype)
     if int8_lm:
         from ..ops.quantization import quantize_lm_params
 
         params = dict(params)
         params["language_model"] = quantize_lm_params(params["language_model"])
+    if int8_vision:
+        from ..ops.quantization import quantize_vision_params
+
+        params = dict(params)
+        params["vision_model"] = quantize_vision_params(params["vision_model"])
     cls = (
         VideoBlipForConditionalGeneration
         if version == "v2"

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..configs import VisionConfig
 from ..ops.attention import packed_qkv_self_attention
 from ..ops.gelu import gelu
+from ..ops.quantization import vision_dense_cls
 
 
 class VisionEmbeddings(nn.Module):
@@ -71,16 +72,17 @@ class VisionAttention(nn.Module):
         cfg = self.config
         b, s, d = hidden_states.shape
         nh, hd = cfg.num_attention_heads, cfg.head_dim
+        dense = vision_dense_cls(cfg)
         # Fused QKV projection. HF stores a single (3d, d) weight whose bias is
         # (q_bias, 0, v_bias) when qkv_bias is set.
-        qkv = nn.Dense(
+        qkv = dense(
             3 * d, use_bias=cfg.qkv_bias, dtype=self.dtype, name="qkv"
         )(hidden_states)
         # Mask-free self-attention straight off the packed QKV output: the
         # fused TPU kernel extracts heads in VMEM (head_dim 88 is not
         # 128-lane aligned, so any HBM relayout would be lane-shuffle bound).
         out = packed_qkv_self_attention(qkv, nh, hd, scale=hd**-0.5)
-        return nn.Dense(d, dtype=self.dtype, name="projection")(out)
+        return dense(d, dtype=self.dtype, name="projection")(out)
 
 
 class VisionMLP(nn.Module):
@@ -90,10 +92,11 @@ class VisionMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
-        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        dense = vision_dense_cls(cfg)
+        x = dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
         # HF "gelu" = exact erf; ops.gelu honors the opt-in fast serving mode
         x = gelu(x)
-        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(x)
+        return dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(x)
 
 
 class VisionEncoderLayer(nn.Module):

@@ -116,3 +116,81 @@ def quantize_lm_params(params: Any, names: Optional[frozenset] = None) -> Any:
         return out
 
     return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# W8A8: int8 weights x dynamically-quantized int8 activations on the int8 MXU
+# ---------------------------------------------------------------------------
+
+# flax param-tree node names quantized in the vision tower (models/vision.py).
+# The patch-embedding matmul, layer norms, and biases stay in model dtype.
+VISION_QUANT_NAMES = frozenset({"qkv", "projection", "fc1", "fc2"})
+
+
+def quantize_act_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row (per-token) dynamic int8 quantization of activations.
+
+    x (..., K) -> (x8 int8 (..., K), scale f32 (..., 1)) with x ≈ x8 * scale.
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return x8, scale
+
+
+class Int8W8A8Dense(nn.Module):
+    """Dense on the v5e int8 MXU path: int8 kernel x int8 activations -> int32.
+
+    Activations are quantized per row (per token) at trace time — two cheap
+    elementwise passes — and the dot runs int8 x int8 with int32 accumulation,
+    which XLA lowers to the 394-TOPS int8 MXU path (measured 300 TOPS pure /
+    1.23x end-to-end vs bf16 at the ViT MLP shape incl. all quant overhead —
+    benchmarks/int8_mxu_probe.py, docs/PERF.md). Dequant applies
+    (row_scale x per-out-channel weight scale) to the int32 accumulator.
+
+    Quantization error: weight rounding + per-token activation rounding
+    (W8A8) — NOT bit-parity with bf16. Serving-mode only, like Int8Dense.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w8 = self.param(
+            "w8", nn.initializers.zeros, (x.shape[-1], self.features), jnp.int8
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        x8, xs = quantize_act_rows(x)
+        y32 = jax.lax.dot_general(
+            x8,
+            w8,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (y32.astype(jnp.float32) * xs * scale).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.dtype
+            )
+            y = y + bias
+        return y
+
+
+def vision_dense_cls(config) -> type:
+    """nn.Dense, or Int8W8A8Dense when the vision config opts in."""
+    return (
+        Int8W8A8Dense if getattr(config, "quantize_matmuls", False) else nn.Dense
+    )
+
+
+def quantize_vision_params(params: Any) -> Any:
+    """Transform a loaded vision param subtree for ``quantize_matmuls``.
+
+    Same walk as :func:`quantize_lm_params` (kernel -> {w8, scale[, bias]})
+    over the vision tower's qkv/projection/fc1/fc2 nodes; weight scales are
+    per output channel, activation scales are computed dynamically at run
+    time by :class:`Int8W8A8Dense`.
+    """
+    return quantize_lm_params(params, names=VISION_QUANT_NAMES)

@@ -54,6 +54,9 @@ def parse_args():
     p.add_argument("--int8_kv", action="store_true",
                    help="int8 KV cache via the Pallas VMEM-dequant decode "
                         "kernel (halves the cache stream; serving mode)")
+    p.add_argument("--int8_vision", action="store_true",
+                   help="W8A8 vision tower on the int8 MXU path (1.2-1.8x "
+                        "measured on v5e; serving mode, not bit-parity)")
     p.add_argument("--draft_layers", type=int, default=0,
                    help="> 0: token-identical speculative greedy decoding "
                         "with the first N layers self-drafting")
@@ -93,7 +96,8 @@ def main() -> None:
 
         set_gelu_impl("fast")
     model, variables, config = load_model(
-        args.model, dtype=dtype, int8_lm=args.int8_lm, int8_kv=args.int8_kv
+        args.model, dtype=dtype, int8_lm=args.int8_lm, int8_kv=args.int8_kv,
+        int8_vision=args.int8_vision,
     )
     tokenizer = load_tokenizer(args.processor or args.model)
 
