@@ -1,0 +1,344 @@
+"""Continuous-batching serving engine for interleaved video narration.
+
+The reference serves requests one batch at a time (demo/eilev_demo.py and
+scripts/general/generate_narration_texts.py in /root/reference run static
+batches end to end), so a request arriving mid-batch waits for the whole
+batch to finish. This engine adds iteration-level scheduling — the standard
+production-serving design — built TPU-first:
+
+  - **Fixed-shape slots.** The engine owns one preallocated KV cache of
+    ``max_slots`` rows. Every compiled program has static shapes; admission
+    and decode never re-trace for traffic patterns.
+  - **Chunked decode.** Tokens advance ``chunk_tokens`` at a time through the
+    same donated-cache ``lax.scan`` the streaming path uses
+    (generation/decoding.py ``_decode_chunk``): one device dispatch per
+    chunk, in-place cache aliasing, a (slots, chunk) token readback and
+    nothing else. Admission happens at chunk boundaries (iteration-level
+    scheduling a la Orca/vLLM, restructured for XLA's static-shape world).
+  - **Left-padded admission.** A new request prefills alone at width
+    ``W = bucket(max(cache_index, prompt_len))`` — left-padding right-aligns
+    it with the rows already decoding, so the shared scalar cache index
+    stays valid for every row. The decode path is left-padding invariant
+    (tests/generation/test_generate_parity.py), which is what makes
+    per-request outputs token-identical to isolated ``generate`` calls.
+    Prefill programs compile once per bucket width (bounded by
+    ``max_len / prefill_bucket``), not per request.
+  - **Slot reuse + session flush.** Finished slots are overwritten wholesale
+    by the next admission (their cache rows are dead weight until then —
+    per-row attention cannot see across rows). When the shared index cannot
+    fit another request plus its ``max_new_tokens``, the engine drains and
+    resets (index 0, zeroed masks) — the bounded-cache answer to unbounded
+    request streams.
+
+Works with every LM serving mode (bf16, ``int8_lm``, ``int8_kv``,
+``int8_vision`` — the cache-merge walks whatever tensors the cache dict
+carries). Decoder-only LMs only, one prompt *geometry* (number of videos)
+per engine — the EILeV serving workload is a fixed 16-shot+query prompt
+(reference slurm-scripts/README.md:71-76), which is exactly this shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import OPTConfig
+from ..generation.config import GenerationConfig
+from ..generation.decoding import _decode_chunk
+from ..models import opt as opt_mod
+from ..models.video_blip import VideoBlipForConditionalGeneration as VB
+
+
+@dataclasses.dataclass
+class Request:
+    """One narration request: the interleaved prompt arrays of ``generate``."""
+
+    input_ids: np.ndarray  # (P,) int
+    pixel_values: Optional[np.ndarray]  # (V, C, T, H, W) or None (text-only)
+    video_input_mask: Optional[np.ndarray]  # (P,) 0/1
+    rid: int = -1
+
+
+@dataclasses.dataclass
+class Completion:
+    rid: int
+    tokens: np.ndarray  # (max_new_tokens,) int32; positions after eos hold pad
+    admitted_at_chunk: int
+    finished_at_chunk: int
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model",), donate_argnums=(2, 3)
+)
+def _admit(
+    model: VB,
+    variables,
+    cache,
+    last_logits: jax.Array,  # (slots, vocab)
+    finished: jax.Array,  # (slots,) bool
+    embeds: jax.Array,  # (1, W, D) — left-padded prompt, already scattered
+    mask: jax.Array,  # (1, W) 0/1
+    slot: jax.Array,  # () int32
+):
+    """Prefill one request and splice it into slot ``slot`` of the shared state.
+
+    The prompt is left-padded to W >= cache['index'], so after the splice the
+    shared scalar index advances to W and every other row's filled prefix is
+    untouched (their mask is 0 over [old_index, W), keeping those positions
+    unattended). Cache and logits are donated: admission aliases the big
+    buffers in place, costing one ~row-sized copy.
+    """
+    w = embeds.shape[1]
+    max_len = cache["k"].shape[2]
+    tcfg = model.config.text_config
+    row_cache = opt_mod.init_cache(tcfg, 1, max_len, dtype=embeds.dtype)
+    logits, row_cache = model.apply(
+        variables, embeds, attention_mask=mask, cache=row_cache, method=VB.lm_forward
+    )
+    new_cache = {}
+    for key, big in cache.items():
+        row = row_cache[key]
+        if key == "index":
+            new_cache[key] = jnp.maximum(big, jnp.asarray(w, big.dtype))
+        elif key == "mask":
+            new_cache[key] = jax.lax.dynamic_update_slice(big, row, (slot, 0))
+        elif key == "pos":
+            new_cache[key] = jax.lax.dynamic_update_slice(big, row, (slot,))
+        else:  # k / v / k_scale / v_scale: (L, slots, max_len, ...)
+            start = (0, slot) + (0,) * (big.ndim - 2)
+            new_cache[key] = jax.lax.dynamic_update_slice(big, row, start)
+    last_logits = jax.lax.dynamic_update_slice(
+        last_logits, logits[:, -1].astype(last_logits.dtype), (slot, 0)
+    )
+    finished = finished.at[slot].set(False)
+    return new_cache, last_logits, finished
+
+
+class ContinuousBatchingEngine:
+    """Iteration-level scheduler over ``max_slots`` concurrent narrations.
+
+    Usage::
+
+        eng = ContinuousBatchingEngine(model, variables, gen_cfg, max_slots=4)
+        rid = eng.submit(Request(input_ids, pixel_values, video_input_mask))
+        while not eng.idle:
+            for done in eng.step():       # admit + one decode chunk
+                use(done.rid, done.tokens)
+
+    Greedy (and sampled) decoding only — beam search decodes in lockstep and
+    belongs to static batching. Output rows are token-identical to isolated
+    ``generate`` calls for the same request (tests/serving/test_engine.py).
+    """
+
+    def __init__(
+        self,
+        model: VB,
+        variables,
+        generation_config: GenerationConfig,
+        *,
+        max_slots: int = 4,
+        max_len: int = 2048,
+        chunk_tokens: int = 8,
+        prefill_bucket: int = 64,
+        rng: Optional[jax.Array] = None,
+        vision_chunks: int = 1,
+    ):
+        if not isinstance(model.config.text_config, OPTConfig) and not hasattr(
+            model.config.text_config, "num_key_value_heads"
+        ):
+            raise ValueError("continuous batching supports decoder-only LMs")
+        if generation_config.max_new_tokens + prefill_bucket > max_len:
+            raise ValueError(
+                f"max_len={max_len} cannot hold one prompt bucket "
+                f"({prefill_bucket}) plus max_new_tokens "
+                f"({generation_config.max_new_tokens})"
+            )
+        self.model = model
+        self.variables = variables
+        self.gen_cfg = generation_config
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.chunk_tokens = chunk_tokens
+        self.prefill_bucket = prefill_bucket
+        self.vision_chunks = vision_chunks
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._dtype = model.dtype
+        self._queue: deque[Request] = deque()
+        self._next_rid = 0
+        self._chunk_count = 0
+        self._reset_state()
+
+    # ------------------------------------------------------------------
+    # public surface
+    # ------------------------------------------------------------------
+
+    def submit(self, request: Request) -> int:
+        """Queue a request; returns its rid. Admission happens inside step()."""
+        request = dataclasses.replace(request, rid=self._next_rid)
+        self._next_rid += 1
+        self._queue.append(request)
+        return request.rid
+
+    @property
+    def idle(self) -> bool:
+        return not self._queue and not any(self._active)
+
+    def step(self) -> list[Completion]:
+        """Admit what fits, decode one chunk, harvest finished requests."""
+        self._admit_pending()
+        if not any(self._active):
+            # nothing decoding: if admission was blocked purely by cache
+            # exhaustion, flush the session and retry once
+            if self._queue:
+                self._reset_state()
+                self._admit_pending()
+            if not any(self._active):
+                return []
+        self._cache, self._logits, self._finished, self._rng, toks = _decode_chunk(
+            self.model,
+            self.variables,
+            self._cache,
+            self._logits,
+            self._finished,
+            self.gen_cfg,
+            self._rng,
+            self.chunk_tokens,
+        )
+        self._chunk_count += 1
+        return self._harvest(np.asarray(toks), np.asarray(self._finished))
+
+    def run(self, requests: list[Request]) -> dict[int, Completion]:
+        """Convenience driver: submit everything, step until drained."""
+        rids = [self.submit(r) for r in requests]
+        done: dict[int, Completion] = {}
+        while not self.idle:
+            for c in self.step():
+                done[c.rid] = c
+        return {rid: done[rid] for rid in rids}
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _reset_state(self) -> None:
+        tcfg = self.model.config.text_config
+        self._cache = opt_mod.init_cache(
+            tcfg, self.max_slots, self.max_len, dtype=self._dtype
+        )
+        vocab = tcfg.vocab_size
+        self._logits = jnp.zeros((self.max_slots, vocab), self._dtype)
+        self._finished = jnp.ones((self.max_slots,), bool)  # inactive == finished
+        self._active: list[Optional[Request]] = [None] * self.max_slots
+        self._emitted: list[list[int]] = [[] for _ in range(self.max_slots)]
+        self._admitted_chunk = [0] * self.max_slots
+
+    def _bucket(self, prompt_len: int) -> int:
+        w = max(int(self._cache["index"]), prompt_len)
+        b = self.prefill_bucket
+        return -(-w // b) * b
+
+    def _admit_pending(self) -> None:
+        while self._queue:
+            slot = next(
+                (i for i, r in enumerate(self._active) if r is None), None
+            )
+            if slot is None:
+                return
+            req = self._queue[0]
+            p = len(req.input_ids)
+            w = self._bucket(p)
+            if w + self.gen_cfg.max_new_tokens > self.max_len:
+                b = self.prefill_bucket
+                if -(-p // b) * b + self.gen_cfg.max_new_tokens > self.max_len:
+                    self._queue.popleft()
+                    raise ValueError(
+                        f"request rid={req.rid} prompt ({p} tokens) cannot fit "
+                        f"max_len={self.max_len} with max_new_tokens="
+                        f"{self.gen_cfg.max_new_tokens} even in a fresh session"
+                    )
+                return  # session full; step() flushes once drained
+            self._queue.popleft()
+            pad = w - p
+            ids = np.concatenate([np.zeros(pad, np.int64), req.input_ids])
+            mask = np.concatenate([np.zeros(pad, np.int64), np.ones(p, np.int64)])
+            vim = (
+                np.concatenate([np.zeros(pad, np.int64), req.video_input_mask])
+                if req.video_input_mask is not None
+                else None
+            )
+            embeds = self._embed(ids, req.pixel_values, vim)
+            self._cache, self._logits, self._finished = _admit(
+                self.model,
+                self.variables,
+                self._cache,
+                self._logits,
+                self._finished,
+                embeds,
+                jnp.asarray(mask[None], jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+            )
+            self._active[slot] = req
+            self._emitted[slot] = []
+            self._admitted_chunk[slot] = self._chunk_count
+
+    def _embed(self, ids, pixel_values, vim) -> jax.Array:
+        kw = dict(
+            input_ids=jnp.asarray(ids[None]),
+            pixel_values=(
+                jnp.asarray(pixel_values, self._dtype)
+                if pixel_values is not None
+                else None
+            ),
+            video_input_mask=jnp.asarray(vim[None]) if vim is not None else None,
+        )
+        if self.vision_chunks > 1 and pixel_values is not None:
+            from ..models.video_blip import embed_and_scatter_chunked
+
+            return embed_and_scatter_chunked(
+                self.model, self.variables, kw["input_ids"], kw["pixel_values"],
+                kw["video_input_mask"], vision_chunks=self.vision_chunks,
+            )
+        return self.model.apply(
+            self.variables, method=VB.embed_and_scatter, **kw
+        )
+
+    def _harvest(self, toks: np.ndarray, finished: np.ndarray) -> list[Completion]:
+        out: list[Completion] = []
+        max_new = self.gen_cfg.max_new_tokens
+        budget_hit = False
+        for slot, req in enumerate(self._active):
+            if req is None:
+                continue
+            room = max_new - len(self._emitted[slot])
+            self._emitted[slot].extend(int(t) for t in toks[slot, :room])
+            done = bool(finished[slot]) or len(self._emitted[slot]) >= max_new
+            if done:
+                row = np.full((max_new,), self.gen_cfg.pad_token_id, np.int32)
+                got = np.asarray(self._emitted[slot], np.int32)
+                row[: len(got)] = got
+                out.append(
+                    Completion(
+                        rid=req.rid,
+                        tokens=row,
+                        admitted_at_chunk=self._admitted_chunk[slot],
+                        finished_at_chunk=self._chunk_count,
+                    )
+                )
+                self._active[slot] = None
+                self._emitted[slot] = []
+                if not finished[slot]:
+                    budget_hit = True
+        if budget_hit:
+            # slots that hit max_new without eos must stop decoding
+            f = np.array(self._finished)  # copy: device views are read-only
+            for slot, req in enumerate(self._active):
+                if req is None:
+                    f[slot] = True
+            self._finished = jnp.asarray(f)
+        return out
