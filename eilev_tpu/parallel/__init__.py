@@ -6,6 +6,7 @@ from .mesh import (
     param_shardings,
     replicated,
     shard_batch,
+    shard_variables_for_inference,
 )
 from .pipeline import (
     STAGE_AXIS,
@@ -28,6 +29,7 @@ __all__ = [
     "param_shardings",
     "replicated",
     "shard_batch",
+    "shard_variables_for_inference",
     "shard_stacked",
     "stack_layer_params",
 ]

@@ -102,3 +102,24 @@ def param_shardings(params: Any, mesh: Mesh, *, tensor_parallel: bool = False) -
         return NamedSharding(mesh, _param_spec(keys, x.shape))
 
     return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def shard_variables_for_inference(
+    variables: Any, mesh: Mesh, *, tensor_parallel: bool = True
+) -> Any:
+    """Place loaded model variables on the mesh for tensor-parallel inference.
+
+    Weights land pre-split over the "model" axis per :func:`_param_spec`
+    (column q/k/v/fc1, row out/fc2, vocab-sharded embeddings); every jit in
+    the generation/classify path then inherits the layout through GSPMD
+    propagation — the KV cache picks up head-sharding from the qkv
+    projection's output with no decode-loop changes. One chip holds 1/TP of
+    the weights, so e.g. the 16 GB-HBM batch-8 bf16 serving point that
+    single-chip bf16 cannot hold (docs/PERF.md "batch 8 collapses") fits at
+    TP=2. The reference has no inference model sharding at all (accelerate
+    ``hf_device_map`` pipeline placement only, /root/reference/eilev/model/v2.py:276-278).
+
+    Token-identical to replicated execution (tests/parallel/test_tp_generate.py).
+    """
+    sh = param_shardings(variables, mesh, tensor_parallel=tensor_parallel)
+    return jax.device_put(variables, sh)

@@ -57,6 +57,9 @@ def parse_args():
     p.add_argument("--int8_vision", action="store_true",
                    help="W8A8 vision tower on the int8 MXU path (1.2-1.8x "
                         "measured on v5e; serving mode, not bit-parity)")
+    p.add_argument("--model_parallel", type=int, default=0,
+                   help="shard the model weights over N devices (tensor parallel"
+                   " over the mesh 'model' axis); 0/1 = replicated")
     p.add_argument("--draft_layers", type=int, default=0,
                    help="> 0: token-identical speculative greedy decoding "
                         "with the first N layers self-drafting")
@@ -100,6 +103,20 @@ def main() -> None:
         int8_vision=args.int8_vision,
     )
     tokenizer = load_tokenizer(args.processor or args.model)
+
+    if args.model_parallel and args.model_parallel > 1:
+        import jax
+
+        from eilev_tpu.ops.attention import set_default_attention_impl
+        from eilev_tpu.parallel import make_mesh, shard_variables_for_inference
+
+        mesh = make_mesh(
+            data=jax.device_count() // args.model_parallel, model=args.model_parallel
+        )
+        variables = shard_variables_for_inference(variables, mesh)
+        # The fused Pallas kernels are single-device programs: under GSPMD they
+        # would force full-activation gathers. The XLA path shards cleanly.
+        set_default_attention_impl("xla")
 
     decoder_only = config.use_decoder_only_language_model
 

@@ -45,6 +45,9 @@ def parse_args():
     p.add_argument("--num_eval_datapoints", default=0, type=int)
     p.add_argument("--random-seed", type=int, default=42)
     p.add_argument("--class_batch_size", type=int, default=None)
+    p.add_argument("--model_parallel", type=int, default=0,
+                   help="shard the model weights over N devices (tensor"
+                   " parallel); 0/1 = replicated")
     p.add_argument("--eval_batch_size", type=int, default=4,
                    help="datapoints classified per device program (TPU batching)")
     p.add_argument("--log_verb_preds", action="store_true")
@@ -69,6 +72,18 @@ def main() -> None:
     from eilev_tpu.utils import WandbLogger
 
     model, variables, config = load_model(args.model, dtype=dtype)
+    if args.model_parallel and args.model_parallel > 1:
+        import jax
+
+        from eilev_tpu.ops.attention import set_default_attention_impl
+        from eilev_tpu.parallel import make_mesh, shard_variables_for_inference
+
+        mesh = make_mesh(
+            data=jax.device_count() // args.model_parallel, model=args.model_parallel
+        )
+        variables = shard_variables_for_inference(variables, mesh)
+        # Pallas kernels are single-device programs; the XLA path shards cleanly.
+        set_default_attention_impl("xla")
     tokenizer = load_tokenizer(args.processor or args.model)
 
     with open(args.fho_lta_taxonomy) as f:

@@ -57,6 +57,9 @@ def parse_args():
                    help="requests/sec (open loop, exponential gaps, seed "
                         "--random_seed); 0 = submit everything up front")
     p.add_argument("--vision_chunks", type=int, default=1)
+    p.add_argument("--model_parallel", type=int, default=0,
+                   help="shard the model weights over N devices (tensor parallel);"
+                   " 0/1 = replicated")
     p.add_argument("--int8_lm", action="store_true")
     p.add_argument("--int8_kv", action="store_true")
     p.add_argument("--int8_vision", action="store_true")
@@ -87,6 +90,18 @@ def main():
         int8_vision=args.int8_vision,
     )
     tokenizer = load_tokenizer(args.processor or args.model)
+    if args.model_parallel and args.model_parallel > 1:
+        import jax
+
+        from eilev_tpu.ops.attention import set_default_attention_impl
+        from eilev_tpu.parallel import make_mesh, shard_variables_for_inference
+
+        mesh = make_mesh(
+            data=jax.device_count() // args.model_parallel, model=args.model_parallel
+        )
+        variables = shard_variables_for_inference(variables, mesh)
+        # Pallas kernels are single-device programs; the XLA path shards cleanly.
+        set_default_attention_impl("xla")
     decoder_only = config.use_decoder_only_language_model
     if not decoder_only:
         raise SystemExit("serve.py: continuous batching needs a decoder-only LM")

@@ -138,3 +138,26 @@ def test_engine_rejects_oversized_prompt(world):
     eng.submit(big)
     with pytest.raises(ValueError, match="cannot fit"):
         eng.step()
+
+
+def test_engine_tensor_parallel_matches(world):
+    """The engine under tensor-parallel sharded weights (parallel/mesh.py:
+    shard_variables_for_inference) reproduces the isolated outputs exactly —
+    the serving-side TP path (--model_parallel on scripts/serve.py)."""
+    from eilev_tpu.parallel import make_mesh, shard_variables_for_inference
+
+    cfg, model, variables, make_request = world
+    gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=1)
+    requests = [make_request(seed, extra_text=seed % 3) for seed in range(3)]
+    ref = _reference_rows(model, variables, gen_cfg, requests)
+
+    mesh = make_mesh(data=4, model=2)
+    tp_vars = shard_variables_for_inference(variables, mesh)
+    eng = ContinuousBatchingEngine(
+        model, tp_vars, gen_cfg, max_slots=2, max_len=96,
+        chunk_tokens=3, prefill_bucket=16,
+    )
+    done = eng.run([dataclasses.replace(r) for r in requests])
+    assert sorted(done) == [0, 1, 2]
+    for rid, completion in done.items():
+        np.testing.assert_array_equal(completion.tokens, ref[rid], err_msg=str(rid))
