@@ -248,3 +248,47 @@ def test_explore_data_cli(fho_world, tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "plots" / "action_durations.png")
+
+
+@pytest.mark.parametrize(
+    "figure",
+    ["held-out-opt", "held-out-t5", "epic-kitchens-opt", "epic-kitchens-t5",
+     "novel", "ablation-bursty", "ablation-skewed", "ablation-dynamic",
+     "shuffle"],
+)
+def test_plot_results_figure_modes(tmp_path, figure):
+    """One CLI command per reference figure notebook (published-curve modes)."""
+    out = tmp_path / f"{figure}.png"
+    _run(["scripts/plot_results.py", "--figure", figure, "--metric", "ROUGE-L",
+          "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_plot_results_tsne(tmp_path):
+    """--figure tsne over get_vision_model_embs.py-format embedding dumps
+    (tsne_ego4d_epic_kitchens.ipynb role)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for label in ("ego4d", "ek"):
+        np.save(tmp_path / f"{label}_embs.npy",
+                rng.normal(size=(40, 16)).astype(np.float32))
+    out = tmp_path / "tsne.png"
+    _run(["scripts/plot_results.py", "--figure", "tsne",
+          f"ego4d={tmp_path}/ego4d", f"ek={tmp_path}/ek", "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_plot_results_action_freq(tmp_path):
+    """--figure action-freq over narrated_actions.csv (skewed_dist role)."""
+    path = tmp_path / "narrated_actions.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["structured_verb", "structured_noun"])
+        w.writeheader()
+        for verb, noun, n in [("take", "knife", 5), ("cut", "onion", 2), ("open", "door", 1)]:
+            for _ in range(n):
+                w.writerow({"structured_verb": verb, "structured_noun": noun})
+    out = tmp_path / "freq.png"
+    _run(["scripts/plot_results.py", "--figure", "action-freq", str(path),
+          "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 1000
