@@ -35,7 +35,7 @@ class EilevChat:
 
     def __init__(self, model_path: str, processor_path=None, dtype_name: str = "bf16",
                  int8_lm: bool = False, int8_kv: bool = False,
-                 int8_vision: bool = False):
+                 int8_vision: bool = False, kv_reuse: bool = False):
         import jax.numpy as jnp
 
         from eilev_tpu.models.auto import load_model, load_tokenizer
@@ -46,12 +46,16 @@ class EilevChat:
             int8_vision=int8_vision,
         )
         self.tokenizer = load_tokenizer(processor_path or model_path)
+        self.kv_reuse = kv_reuse
+        self.session = None
         self.reset()
 
     def reset(self) -> None:
         # blocks of (text, num_videos_before_text), reference-style state
         self.prompts: list[tuple[str, int]] = [("", 0)]
         self.videos: list[np.ndarray] = []
+        if self.session is not None:
+            self.session.reset()
 
     def add_video(self, path: str) -> str:
         from eilev_tpu.native import VideoDecoder
@@ -69,6 +73,52 @@ class EilevChat:
         block, n = self.prompts[-1]
         self.prompts[-1] = ((block + " " + text).strip(), n)
 
+    def respond_kv_reuse(self, user_text: str) -> str:
+        """Greedy turn over a persistent ``ChatSession``: only this turn's new
+        tokens/videos are prefilled (serving/session.py) — earlier turns' KV
+        stays resident. Trades the reference demo's beam-5 for incremental
+        multi-turn latency; token-identical to a from-scratch greedy turn."""
+        import jax.numpy as jnp
+
+        from eilev_tpu.configs import OPTConfig
+        from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
+        from eilev_tpu.generation import GenerationConfig
+        from eilev_tpu.ops.preprocess import process_videos
+        from eilev_tpu.serving import ChatSession
+
+        if self.session is None:
+            gen_cfg = GenerationConfig(
+                max_new_tokens=32, pad_token_id=self.tokenizer.pad_token_id
+            )
+            if isinstance(self.config.text_config, OPTConfig):
+                gen_cfg = gen_cfg.with_eos(50118)  # OPT newline eos
+            self.session = ChatSession(self.model, self.variables, gen_cfg)
+        if user_text.strip():
+            self.add_text(user_text.strip())
+        inputs = generate_input_ids_and_labels_from_interleaved(
+            self.tokenizer,
+            self.prompts,
+            None,
+            self.config.num_query_tokens,
+            self.config.use_decoder_only_language_model,
+        )
+        pixel = None
+        if self.videos:
+            img = self.config.vision_config.image_size
+            pixel = process_videos(
+                jnp.asarray(np.stack(self.videos)), height=img, width=img,
+                dtype=self.dtype,
+            )
+        reply_tokens = self.session.turn(
+            np.asarray(inputs["input_ids"]), pixel,
+            np.asarray(inputs["video_input_mask"]),
+        )
+        reply = self.tokenizer.decode(
+            [int(t) for t in reply_tokens], skip_special_tokens=True
+        ).strip()
+        self.add_text(reply)
+        return reply
+
     def respond(self, user_text: str) -> str:
         import jax.numpy as jnp
 
@@ -77,6 +127,8 @@ class EilevChat:
         from eilev_tpu.generation import GenerationConfig, generate
         from eilev_tpu.ops.preprocess import process_videos
 
+        if self.kv_reuse:
+            return self.respond_kv_reuse(user_text)
         if user_text.strip():
             self.add_text(user_text.strip())
         inputs = generate_input_ids_and_labels_from_interleaved(
@@ -226,6 +278,10 @@ def main() -> None:
                    help="int8 KV cache via the Pallas VMEM-dequant kernel")
     p.add_argument("--int8_vision", action="store_true",
                    help="W8A8 vision tower on the int8 MXU path (serving mode)")
+    p.add_argument("--kv_reuse", action="store_true",
+                   help="keep the session KV cache across turns and prefill "
+                        "only each turn's new tokens/videos (greedy; the "
+                        "default beam-5 re-prefills like the reference demo)")
     p.add_argument("--terminal", action="store_true", help="force terminal mode")
     p.add_argument("--stream", action="store_true",
                    help="terminal mode: stream tokens as they decode (greedy; "
@@ -236,7 +292,7 @@ def main() -> None:
     chat = EilevChat(
         args.model, args.processor, args.dtype,
         int8_lm=args.int8_lm, int8_kv=args.int8_kv,
-        int8_vision=args.int8_vision,
+        int8_vision=args.int8_vision, kv_reuse=args.kv_reuse,
     )
     if args.terminal or args.stream:
         run_terminal(chat, stream=args.stream)

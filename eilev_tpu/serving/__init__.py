@@ -1,5 +1,7 @@
-"""TPU-native serving layer: continuous batching over fixed-shape slots."""
+"""TPU-native serving layer: continuous batching over fixed-shape slots,
+multi-turn chat sessions with incremental prefill."""
 
 from .engine import Completion, ContinuousBatchingEngine, Request
+from .session import ChatSession
 
-__all__ = ["Completion", "ContinuousBatchingEngine", "Request"]
+__all__ = ["ChatSession", "Completion", "ContinuousBatchingEngine", "Request"]

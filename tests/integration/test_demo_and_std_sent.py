@@ -97,6 +97,67 @@ def test_eilev_chat_core(checkpoint, video):
     assert chat.prompts == [("", 0)] and chat.videos == []
 
 
+def test_eilev_chat_kv_reuse_matches_greedy(checkpoint, video):
+    """--kv_reuse mode: incremental turns must equal from-scratch greedy turns
+    on the same conversation (the ChatSession guarantee, exercised through
+    the demo's prompt-builder/tokenizer/video plumbing)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "eilev_demo", os.path.join(REPO, "demo", "eilev_demo.py")
+    )
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    import jax.numpy as jnp
+
+    from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
+    from eilev_tpu.generation import GenerationConfig, generate
+    from eilev_tpu.ops.preprocess import process_videos
+
+    chat = demo.EilevChat(checkpoint, dtype_name="fp32", kv_reuse=True)
+
+    def reference_reply():
+        """From-scratch greedy generate on chat's CURRENT prompt state."""
+        inputs = generate_input_ids_and_labels_from_interleaved(
+            chat.tokenizer, chat.prompts, None, chat.config.num_query_tokens, True
+        )
+        img = chat.config.vision_config.image_size
+        pixel = process_videos(
+            jnp.asarray(np.stack(chat.videos)), height=img, width=img,
+            dtype=chat.dtype,
+        )
+        gen_cfg = GenerationConfig(
+            max_new_tokens=32, pad_token_id=chat.tokenizer.pad_token_id
+        ).with_eos(50118)
+        toks = np.asarray(
+            generate(
+                chat.model, chat.variables,
+                input_ids=jnp.asarray(inputs["input_ids"])[None],
+                pixel_values=pixel,
+                video_input_mask=jnp.asarray(inputs["video_input_mask"])[None],
+                generation_config=gen_cfg,
+            )
+        )[0]
+        toks = toks[toks != gen_cfg.pad_token_id]
+        return chat.tokenizer.decode([int(t) for t in toks], skip_special_tokens=True).strip()
+
+    chat.add_video(video)
+    chat.add_text("What is the camera wearer doing?")
+    ref1 = reference_reply()
+    reply1 = chat.respond_kv_reuse("")
+    assert reply1 == ref1
+    assert not chat.session.reused_last_turn  # first turn builds the cache
+
+    chat.add_text("And then?")
+    ref2 = reference_reply()
+    reply2 = chat.respond_kv_reuse("")
+    assert reply2 == ref2
+    # the cache survived the turn boundary (rollback absorbs retokenization
+    # drift in the reply region; the video/context KV is never re-encoded)
+    assert chat.session.reused_last_turn
+
+
 @pytest.mark.parametrize("backend", ["opt", "llama"])
 def test_generate_std_sent_cli(opt_checkpoint, llama_checkpoint, backend, tmp_path):
     ckpt = opt_checkpoint if backend == "opt" else llama_checkpoint
