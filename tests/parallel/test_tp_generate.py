@@ -97,3 +97,53 @@ def test_tp_classify_matches_replicated():
     )
     out = np.asarray(classify(model, tp_vars, **tp_kwargs))
     np.testing.assert_allclose(ref, out, rtol=2e-5, atol=2e-5)
+
+
+def test_video_axis_sharded_generate_matches():
+    """Single-sample vision sharding over the VIDEO axis (SURVEY §5: scale the
+    shot count): pixel_values (V, ...) sharded over 'data' — the ViT and
+    Q-Former run video-parallel and GSPMD gathers the 32-token features at
+    the scatter. Token-identical to replicated; no code path changes."""
+    cfg = configs.tiny_config(text_model="opt")
+    model = VideoBlipForConditionalGeneration(cfg)
+    rng = np.random.default_rng(3)
+    b, videos, t, s_text = 1, 8, 2, 8
+    q = cfg.num_query_tokens
+    img = cfg.vision_config.image_size
+    s = videos * (q + 1) + s_text
+    pixel = jnp.asarray(rng.normal(size=(videos, 3, t, img, img)).astype(np.float32))
+    ids = np.full((b, s), 1, np.int64)
+    vim = np.zeros((b, s), np.int64)
+    col = 0
+    for _ in range(videos):
+        vim[:, col : col + q] = 1
+        col += q + 1
+    ids[:, -s_text:] = rng.integers(4, cfg.text_config.vocab_size, size=(b, s_text))
+    ids, vim = jnp.asarray(ids), jnp.asarray(vim)
+    mask = jnp.ones((b, s), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=ids, pixel_values=pixel,
+        video_input_mask=vim,
+    )["params"]
+    gen_cfg = GenerationConfig(max_new_tokens=5, pad_token_id=1)
+
+    ref = np.asarray(
+        generate(model, {"params": params}, input_ids=ids, attention_mask=mask,
+                 pixel_values=pixel, video_input_mask=vim, generation_config=gen_cfg)
+    )
+
+    mesh = make_mesh(data=8, model=1)
+    vid_sh = NamedSharding(mesh, P("data"))  # shard the video axis
+    rep = NamedSharding(mesh, P())
+    out = np.asarray(
+        generate(
+            model,
+            jax.device_put({"params": params}, rep),
+            input_ids=jax.device_put(ids, rep),
+            attention_mask=jax.device_put(mask, rep),
+            pixel_values=jax.device_put(pixel, vid_sh),
+            video_input_mask=jax.device_put(vim, rep),
+            generation_config=gen_cfg,
+        )
+    )
+    np.testing.assert_array_equal(ref, out)
