@@ -228,8 +228,14 @@ class FrameInterleavedDataset:
             examples |= draw(rest, remaining)
         return examples
 
-    def __getitem__(self, index: int) -> dict[str, Any]:
-        datapoint = self._dataset[index]
+    def plan(self, index: int) -> tuple[list[int], int]:
+        """The rng-consuming half of ``__getitem__``: choose and order the
+        in-context examples from metadata alone (no frame IO). Exists so a
+        parallel loader can draw ALL randomness on the coordinating thread in
+        stream order — keeping the seeded rng sequence identical to serial
+        iteration — and ship only :meth:`load_plan` (pure IO) to workers
+        (training/data_module.py ``num_workers``)."""
+        row = self._dataset.data[index]
         if self.random_in_context_examples:
             pool = [
                 i
@@ -241,13 +247,25 @@ class FrameInterleavedDataset:
             )
             ordered = list(examples)
         else:
-            examples = self._sample_bucketed(datapoint, index)
+            examples = self._sample_bucketed(row, index)
             # shuffle the in-context examples; the query always goes last
             ordered = self.rng.sample(sorted(examples), len(examples))
-        item = {"items": [self._in_context_dataset[i] for i in ordered] + [datapoint]}
+        return ordered, index
+
+    def load_plan(self, plan: tuple[list[int], int]) -> dict[str, Any]:
+        """The IO half of ``__getitem__``: load frames for a :meth:`plan`.
+        Consumes no rng — safe to run on worker threads in any order."""
+        ordered, index = plan
+        item = {
+            "items": [self._in_context_dataset[i] for i in ordered]
+            + [self._dataset[index]]
+        }
         if self._transform is not None:
             item = self._transform(item)
         return item
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        return self.load_plan(self.plan(index))
 
     def __len__(self) -> int:
         return len(self._dataset)

@@ -55,26 +55,33 @@ class InterleavedPreprocessor:
     decoder_only_lm: bool
     rng: _random.Random
 
-    def __call__(self, datapoint: dict[str, Any]) -> dict[str, Any]:
+    def draw_prompts(self, n_items: int) -> list[str]:
+        """The rng-consuming half: one instruction prompt per item, drawn in
+        stream order on the coordinating thread (same sequence as serial)."""
+        return [self.rng.choice(PROMPTS) for _ in range(n_items)]
+
+    def apply(self, datapoint: dict[str, Any], prompts: list[str]) -> dict[str, Any]:
+        """The rng-free half: tokenize + assemble. Worker-thread safe."""
         items = datapoint["items"]
         features = generate_input_ids_and_labels_from_interleaved(
             self.tokenizer,
             [
                 (
-                    self.rng.choice(PROMPTS)
-                    + " "
-                    + clean_narration_text(item["narration_text"]),
+                    prompt + " " + clean_narration_text(item["narration_text"]),
                     1,
                 )
-                for item in items[:-1]
+                for prompt, item in zip(prompts[:-1], items[:-1])
             ]
-            + [(self.rng.choice(PROMPTS), 1)],
+            + [(prompts[-1], 1)],
             clean_narration_text(items[-1]["narration_text"]),
             self.num_query_tokens,
             self.decoder_only_lm,
         )
         features["pixel_values"] = np.stack([item["video"] for item in items])
         return features
+
+    def __call__(self, datapoint: dict[str, Any]) -> dict[str, Any]:
+        return self.apply(datapoint, self.draw_prompts(len(datapoint["items"])))
 
 
 @dataclass
@@ -96,6 +103,25 @@ class V1Preprocessor:
         return features
 
 
+def _ordered_parallel(fn, tasks, num_workers: int, depth: Optional[int] = None):
+    """Map ``fn`` over ``tasks`` on a thread pool, yielding IN ORDER with at
+    most ``depth`` items in flight (the TPU-side replacement for the
+    reference's DataLoader worker processes, SURVEY §3.1 — PNG decode and
+    tokenization release the GIL in their C cores, so threads scale)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    depth = depth or num_workers * 2
+    with ThreadPoolExecutor(num_workers) as ex:
+        pending: deque = deque()
+        for t in tasks:
+            pending.append(ex.submit(fn, t))
+            if len(pending) >= depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
 def train_batch_iterator(
     dataset,
     tokenizer,
@@ -115,6 +141,7 @@ def train_batch_iterator(
     interleaved: bool = True,
     process_index: int = 0,
     process_count: int = 1,
+    num_workers: int = 0,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Yields static-shape batches: every array (accum, micro, ...); token axes
     padded to ``max_length``; pixel_values (accum, micro*videos, C, T, H, W).
@@ -126,6 +153,13 @@ def train_batch_iterator(
     ``micro_batch_size``; each host loads a disjoint strided shard of the
     same seeded shuffle, and ``trainer.shard_train_batch`` assembles the
     host-local batches into one global sharded array.
+
+    ``num_workers > 0`` overlaps the per-sample frame IO + tokenization on a
+    thread pool. The rng-consuming halves (in-context example choice, prompt
+    choice) run on the coordinating thread in stream order, so the batches
+    are BIT-IDENTICAL to serial iteration for the same seed
+    (tests/training/test_data_module.py). Requires a dataset exposing
+    ``plan``/``load_plan`` (FrameInterleavedDataset) in interleaved mode.
     """
     rng = _random.Random(seed)
     key = jax.random.PRNGKey(seed)
@@ -142,6 +176,14 @@ def train_batch_iterator(
             pad_token_id=tokenizer.pad_token_id, padding_side="right", pad_to_multiple_of=None
         )
 
+    if num_workers > 0 and not (
+        interleaved and hasattr(dataset, "plan") and hasattr(dataset, "load_plan")
+    ):
+        raise ValueError(
+            "num_workers > 0 needs an interleaved dataset with plan/load_plan "
+            "(FrameInterleavedDataset); other datasets iterate serially"
+        )
+
     def sample_stream():
         epoch = 0
         while epochs is None or epoch < epochs:
@@ -150,8 +192,23 @@ def train_batch_iterator(
             # multi-host: every process shuffles identically (same seed), then
             # takes its stride — disjoint shards, no coordination traffic
             # (reference equivalent: torch DistributedSampler)
-            for i in order[process_index::process_count]:
-                yield pre(dataset[i])
+            shard = order[process_index::process_count]
+            if num_workers > 0:
+                # all rng draws happen HERE, in stream order; workers only do
+                # frame IO + tokenization (load_plan/apply are rng-free)
+                def tasks():
+                    for i in shard:
+                        plan = dataset.plan(i)
+                        yield plan, pre.draw_prompts(len(plan[0]) + 1)
+
+                yield from _ordered_parallel(
+                    lambda t: pre.apply(dataset.load_plan(t[0]), t[1]),
+                    tasks(),
+                    num_workers,
+                )
+            else:
+                for i in shard:
+                    yield pre(dataset[i])
             epoch += 1
 
     def fix_length(arr: np.ndarray, pad_value: int) -> np.ndarray:

@@ -53,6 +53,9 @@ def parse_args():
     p.add_argument("--random_in_context_examples", action="store_true")
     p.add_argument("--train_target_dataset_len", type=int, default=None)
     p.add_argument("--max_length", type=int, default=1024, help="static token bucket")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="thread-pool workers overlapping frame IO + tokenization"
+                   " (bit-identical batches to serial; reference: DataLoader workers)")
     # training (reference TrainingArguments subset)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--num_train_steps", type=int, default=None,
@@ -184,6 +187,7 @@ def main() -> None:
             seed=seed,
             epochs=args.num_train_epochs if args.num_train_steps is None else None,
             dtype=dtype,
+            num_workers=args.num_workers,
         )
 
     def eval_batches():

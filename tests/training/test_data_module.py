@@ -137,3 +137,78 @@ def test_multihost_striding_disjoint_and_complete():
     assert h1 == full[1::2]
     assert not set(h0) & set(h1)
     assert sorted(h0 + h1) == sorted(full)
+
+
+def _make_frames_dir(root):
+    """Tiny PNG frames tree (same contract as extract_frames output)."""
+    import csv
+
+    import imageio.v3 as iio
+
+    rows = []
+    actions = [("take", "knife"), ("take", "spoon"), ("cut", "knife"),
+               ("cut", "onion"), ("wash", "knife"), ("stir", "pot")]
+    for i, (verb, noun) in enumerate(actions):
+        fp = f"vid{i}|0"
+        d = root / fp
+        d.mkdir(parents=True)
+        for t in range(2):
+            img = np.full((8, 8, 3), i * 10 + t, np.uint8)
+            iio.imwrite(d / f"{fp}|{t}.png", img, extension=".png")
+        rows.append({
+            "frame_path": fp, "video_uid": f"vid{i}", "clip_index": "0",
+            "narration_timestamp_sec": "4.0",
+            "narration_text": f"#C C does action {i}",
+            "structured_verb": verb, "structured_noun": noun,
+        })
+    with open(root / "narrated_actions.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+
+
+def test_num_workers_batches_bit_identical(tmp_path):
+    """The thread-pool loader must produce BIT-identical batches to serial
+    iteration for the same seed: all rng (in-context choice, prompt choice,
+    epoch shuffle) is drawn on the coordinating thread in stream order."""
+    import random
+
+    from eilev_tpu.data.frame import FrameInterleavedDataset
+
+    _make_frames_dir(tmp_path / "frames")
+    tok = MockTokenizer()
+
+    def batches(workers):
+        ds = FrameInterleavedDataset(
+            str(tmp_path / "frames"),
+            num_in_context_examples_per_sample=2,
+            rng=random.Random(7),
+        )
+        it = train_batch_iterator(
+            ds, tok, num_query_tokens=2, decoder_only_lm=True,
+            accum_steps=1, micro_batch_size=2, max_length=64, num_frames=2,
+            image_size=8, augment=False, seed=3, epochs=2,
+            num_workers=workers,
+        )
+        return list(it)
+
+    serial = batches(0)
+    parallel = batches(3)
+    assert len(serial) == len(parallel) and len(serial) > 1
+    for a, b in zip(serial, parallel):
+        assert sorted(a) == sorted(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_num_workers_requires_plannable_dataset():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plan"):
+        next(
+            train_batch_iterator(
+                _DS(), MockTokenizer(), num_query_tokens=2, decoder_only_lm=True,
+                accum_steps=1, micro_batch_size=1, max_length=32, num_frames=2,
+                image_size=8, augment=False, num_workers=2,
+            )
+        )
