@@ -164,6 +164,53 @@ class EilevChat:
         self.add_text(reply)
         return reply
 
+    def respond_stream_kv_reuse(self, user_text: str):
+        """Streaming turn over the persistent session: incremental prefill
+        (only this turn's new tokens/videos) + chunked token streaming."""
+        import jax.numpy as jnp
+
+        from eilev_tpu.configs import OPTConfig
+        from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
+        from eilev_tpu.generation import GenerationConfig
+        from eilev_tpu.ops.preprocess import process_videos
+        from eilev_tpu.serving import ChatSession
+
+        if self.session is None:
+            gen_cfg = GenerationConfig(
+                max_new_tokens=32, pad_token_id=self.tokenizer.pad_token_id
+            )
+            if isinstance(self.config.text_config, OPTConfig):
+                gen_cfg = gen_cfg.with_eos(50118)
+            self.session = ChatSession(self.model, self.variables, gen_cfg)
+        if user_text.strip():
+            self.add_text(user_text.strip())
+        inputs = generate_input_ids_and_labels_from_interleaved(
+            self.tokenizer,
+            self.prompts,
+            None,
+            self.config.num_query_tokens,
+            self.config.use_decoder_only_language_model,
+        )
+        pixel = None
+        if self.videos:
+            img = self.config.vision_config.image_size
+            pixel = process_videos(
+                jnp.asarray(np.stack(self.videos)), height=img, width=img,
+                dtype=self.dtype,
+            )
+        emitted: list[int] = []
+        shown = ""
+        for chunk in self.session.turn_stream(
+            np.asarray(inputs["input_ids"]), pixel,
+            np.asarray(inputs["video_input_mask"]),
+        ):
+            emitted.extend(int(t) for t in chunk)
+            text = self.tokenizer.decode(emitted, skip_special_tokens=True)
+            if len(text) > len(shown):
+                yield text[len(shown):]
+                shown = text
+        self.add_text(shown.strip())
+
     def respond_stream(self, user_text: str):
         """Greedy streaming variant of :meth:`respond`: yields text deltas as
         token chunks arrive (beam search cannot stream, so this path trades
@@ -175,6 +222,9 @@ class EilevChat:
         from eilev_tpu.generation import GenerationConfig, generate_stream
         from eilev_tpu.ops.preprocess import process_videos
 
+        if self.kv_reuse:
+            yield from self.respond_stream_kv_reuse(user_text)
+            return
         if user_text.strip():
             self.add_text(user_text.strip())
         inputs = generate_input_ids_and_labels_from_interleaved(

@@ -40,7 +40,7 @@ import numpy as np
 
 from ..configs import OPTConfig
 from ..generation.config import GenerationConfig
-from ..generation.decoding import _is_eos
+from ..generation.decoding import _decode_chunk, _is_eos
 from ..models import opt as opt_mod
 from ..models.video_blip import VideoBlipForConditionalGeneration as VB
 
@@ -201,20 +201,9 @@ class ChatSession:
 
     # -- public -------------------------------------------------------------
 
-    def turn(
-        self,
-        input_ids: np.ndarray,
-        pixel_values: Optional[np.ndarray] = None,
-        video_input_mask: Optional[np.ndarray] = None,
-    ) -> np.ndarray:
-        """Generate a reply to the FULL prompt-so-far; reuse the cached prefix.
-
-        :param input_ids: (P,) the whole conversation's token ids (prompt
-            builder output), including everything from previous turns.
-        :param pixel_values: (V, C, T, H, W) ALL videos referenced so far.
-        :param video_input_mask: (P,) aligned with input_ids.
-        :returns: (m,) generated token ids (eos included, no padding).
-        """
+    def _begin_turn(self, input_ids, pixel_values, video_input_mask):
+        """Shared turn prologue: LCP diff, rollback/reset, budget check, and
+        the delta append. Returns (last_logits, full_ids, vim, n_delta)."""
         full_ids = np.asarray(input_ids).reshape(-1)
         q = self.model.config.num_query_tokens
         vim = (
@@ -256,16 +245,107 @@ class ChatSession:
             )
 
         last_logits = self._append(delta_ids, new_videos, delta_vim)
-        out, self._cache, steps = _decode_until_eos(
-            self.model, self.variables, self._cache, last_logits, self.gen_cfg
-        )
-        m = int(steps)
-        reply = np.asarray(out)[0, :m]
         self.last_turn_appended = len(delta_ids)
+        return last_logits, full_ids, vim
+
+    def _finish_turn(self, full_ids, vim, reply: np.ndarray) -> None:
+        """Record the reply tokens (already resident in the cache) in the
+        session's token stream."""
+        m = len(reply)
         self._ids = np.concatenate([full_ids, reply.astype(full_ids.dtype)])
         self._vim = np.concatenate([vim, np.zeros((m,), vim.dtype)])
         self._slots = np.concatenate(
             [self._slots, self._index + np.arange(m, dtype=np.int64)]
         )
         self._index += m
+
+    def turn(
+        self,
+        input_ids: np.ndarray,
+        pixel_values: Optional[np.ndarray] = None,
+        video_input_mask: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Generate a reply to the FULL prompt-so-far; reuse the cached prefix.
+
+        :param input_ids: (P,) the whole conversation's token ids (prompt
+            builder output), including everything from previous turns.
+        :param pixel_values: (V, C, T, H, W) ALL videos referenced so far.
+        :param video_input_mask: (P,) aligned with input_ids.
+        :returns: (m,) generated token ids (eos included, no padding).
+        """
+        last_logits, full_ids, vim = self._begin_turn(
+            input_ids, pixel_values, video_input_mask
+        )
+        out, self._cache, steps = _decode_until_eos(
+            self.model, self.variables, self._cache, last_logits, self.gen_cfg
+        )
+        reply = np.asarray(out)[0, : int(steps)]
+        self._finish_turn(full_ids, vim, reply)
         return reply
+
+    def turn_stream(
+        self,
+        input_ids: np.ndarray,
+        pixel_values: Optional[np.ndarray] = None,
+        video_input_mask: Optional[np.ndarray] = None,
+        chunk: int = 8,
+    ):
+        """Streaming :meth:`turn`: yields (k,) token chunks as they decode.
+
+        Tokens decode ``chunk`` steps per device dispatch through the same
+        donated-cache scan the static streaming path uses. The scan appends
+        every step's token to the cache — including the pad steps after eos
+        inside the final chunk — so on completion the pads' slots are masked
+        back out (the same mechanism as LCP rollback), restoring the
+        resident-stream invariant for the next turn.
+        """
+        last_logits, full_ids, vim = self._begin_turn(
+            input_ids, pixel_values, video_input_mask
+        )
+        gen_cfg = self.gen_cfg
+        max_new = gen_cfg.max_new_tokens
+        cache = self._cache
+        self._cache = None  # donated: never reuse the stale reference
+        finished = jnp.zeros((1,), bool)
+        rng = jax.random.PRNGKey(0)
+        # _decode_chunk carries model-dtype logits (the fp32 cast in
+        # _append_prefill is lossless over bf16 values, so argmax agrees)
+        logits = last_logits.astype(self.model.dtype)
+        emitted: list[int] = []
+        appended = 0
+        done = False
+        while appended < max_new and not done:
+            steps = min(chunk, max_new - appended)
+            cache, logits, finished, rng, toks = _decode_chunk(
+                self.model, self.variables, cache, logits, finished,
+                gen_cfg, rng, steps,
+            )
+            appended += steps
+            row = np.asarray(toks)[0]
+            done = bool(np.asarray(finished)[0])
+            eos_ids = set(gen_cfg.eos_token_id or ())
+            fresh = []
+            for t in row:
+                if len(emitted) + len(fresh) >= max_new:
+                    break
+                fresh.append(int(t))
+                if int(t) in eos_ids:
+                    done = True
+                    break
+            emitted.extend(fresh)
+            if fresh:
+                yield np.asarray(fresh, np.int32)
+        self._cache = cache
+        m = len(emitted)
+        # mask out the pad steps the last chunk appended past the eos
+        stale = appended - m
+        if stale > 0:
+            keep = np.ones((1, self.max_len), np.int32)
+            keep[0, self._index + m : self._index + appended] = 0
+            self._cache = _mask_rollback(
+                self._cache, jnp.asarray(keep),
+                jnp.full((1,), len(full_ids) + m, jnp.int32),
+            )
+        reply = np.asarray(emitted, np.int64)
+        self._finish_turn(full_ids, vim, reply)
+        self._index += stale  # the stale slots are consumed, just masked

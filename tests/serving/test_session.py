@@ -149,3 +149,42 @@ def test_session_rejects_beam(world):
         ChatSession(
             model, variables, GenerationConfig(num_beams=3, pad_token_id=1)
         )
+
+
+def test_session_turn_stream_matches_turn(world):
+    """Streamed turns emit the same tokens as blocking turns, and the cache
+    invariant survives the mid-chunk eos (pad slots masked back out) so the
+    NEXT turn still reuses the stream."""
+    cfg, model, variables, make_video, make_turn = world
+    gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=1)
+
+    ids, vim = make_turn(30, 12, True)
+    videos = make_video(30)
+
+    blocking = ChatSession(model, variables, gen_cfg, max_len=128, bucket=8)
+    streaming = ChatSession(model, variables, gen_cfg, max_len=128, bucket=8)
+
+    for turn in range(3):
+        if turn > 0:
+            extra_ids, extra_vim = make_turn(31 + turn, 5, False)
+            ids = np.concatenate([ids, extra_ids])
+            vim = np.concatenate([vim, extra_vim])
+        ref = blocking.turn(ids, videos, vim)
+        chunks = list(streaming.turn_stream(ids, videos, vim, chunk=4))
+        got = np.concatenate(chunks) if chunks else np.zeros((0,), np.int32)
+        np.testing.assert_array_equal(got, ref, err_msg=f"turn {turn}")
+        assert streaming.reused_last_turn == (turn > 0)
+        ids = np.concatenate([ids, ref.astype(ids.dtype)])
+        vim = np.concatenate([vim, np.zeros((len(ref),), vim.dtype)])
+
+
+def test_session_turn_stream_bf16_dtype_boundary(world):
+    """bf16 model: the fp32 logits from the append prefill must re-enter the
+    model-dtype _decode_chunk carry (regression: scan carry dtype mismatch)."""
+    cfg, model_fp32, variables, make_video, make_turn = world
+    model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.bfloat16)
+    gen_cfg = GenerationConfig(max_new_tokens=4, pad_token_id=1)
+    sess = ChatSession(model, variables, gen_cfg, max_len=128, bucket=8)
+    ids, vim = make_turn(40, 12, True)
+    chunks = list(sess.turn_stream(ids, make_video(40), vim, chunk=3))
+    assert sum(len(c) for c in chunks) > 0
