@@ -36,7 +36,13 @@ from eilev_tpu.serving import ChatSession
 
 FRAMES = 8
 Q_NEWLINE = 50118
-SCRIPT = [(8, 24), (0, 12), (1, 16), (0, 12)]  # (new videos, new text tokens)
+# (new videos, new text tokens) per turn. Default keeps the compile budget
+# small on a slow-compile host (each distinct prompt length costs a fresh
+# 2.7B XLA compile in rebuild mode); SESSION_LONG=1 adds a +1-video turn
+# and a fourth text turn.
+SCRIPT = [(8, 24), (0, 12)]
+if os.environ.get("SESSION_LONG"):
+    SCRIPT += [(1, 16), (0, 12)]
 
 
 def turn_tokens(rng, cfg, n_videos, n_text):
@@ -80,6 +86,7 @@ def run_conversation(mode, model, variables, cfg, gen_cfg, make_videos):
             reply = np.asarray(out)[0]
             reply = reply[reply != gen_cfg.pad_token_id]
         times.append(time.perf_counter() - t0)
+        print(f"    [{mode}] turn {t+1}: {times[-1]:.1f}s", flush=True)
         ids += [int(x) for x in reply]
         vim += [0] * len(reply)
     return times
@@ -106,7 +113,11 @@ def main() -> None:
     }
     variables = {"params": random_bf16_params(model, example)}
 
-    for max_new, label in [(1, "TTFT (max_new=1)"), (32, "full turn (32 tokens)")]:
+    labels = [(32, "full turn (32 tokens)")]
+    if os.environ.get("SESSION_TTFT"):  # opt-in: doubles the compile budget
+        labels.insert(0, (1, "TTFT (max_new=1)"))
+    print("params ready", flush=True)
+    for max_new, label in labels:
         gen_cfg = GenerationConfig(max_new_tokens=max_new, pad_token_id=1)
         print(f"\n== {label} ==")
         for mode in ("rebuild", "reuse"):

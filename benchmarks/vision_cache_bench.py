@@ -1,0 +1,136 @@
+"""Vision-feature cache: eval throughput when in-context videos recur.
+
+The flagship eval workload (16-shot ICL narration, reference
+slurm-scripts/README.md:71-76) re-encodes all 17 videos of every datapoint.
+But the 16 in-context videos are drawn from a shared example pool
+(reference frame.py:179-266), and at steady state only the QUERY video is new.
+serving/feature_cache.py caches per-video Q-Former features keyed by
+frame_path; this measures what that buys end to end on one chip at flagship
+geometry (batch 4 datapoints = 68 videos, 32 new tokens, bf16):
+
+  cold      — every video new each batch (cache overhead vs the monolithic
+              encode the headline bench uses)
+  warm-ctx  — the 64 context videos hit a pre-warmed pool, only the 4 query
+              videos encode (hit rate 64/68 = 94%)
+
+Usage: python benchmarks/vision_cache_bench.py  (BENCH_REPS=N to change reps)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import MAX_NEW_TOKENS, SHOTS, build_prompt, random_bf16_params
+from eilev_tpu import configs
+from eilev_tpu.generation import GenerationConfig
+from eilev_tpu.generation.decoding import _greedy_sample_decoder_only
+from eilev_tpu.models import VideoBlipForConditionalGeneration
+from eilev_tpu.models.video_blip import VideoBlipForConditionalGeneration as VB
+from eilev_tpu.ops.preprocess import process_videos
+from eilev_tpu.serving import VideoFeatureCache
+
+BATCH = 4
+FRAMES = 8
+POOL = 256  # pre-warmed in-context example pool (capacity holds it whole)
+
+
+def main() -> None:
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    print("devices:", jax.devices())
+    cfg = configs.blip2_opt_2_7b()
+    model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.bfloat16)
+    v = BATCH * (SHOTS + 1)
+    ids, mask, vim = build_prompt(cfg, BATCH)
+    ids_d, mask_d, vim_d = (
+        jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32), jnp.asarray(vim, jnp.int32),
+    )
+    example = {
+        "input_ids": jax.ShapeDtypeStruct(ids.shape, jnp.int32),
+        "pixel_values": jax.ShapeDtypeStruct((v, 3, FRAMES, 224, 224), jnp.bfloat16),
+        "video_input_mask": jax.ShapeDtypeStruct(vim.shape, jnp.int32),
+    }
+    variables = {"params": random_bf16_params(model, example)}
+    gen_cfg = GenerationConfig(max_new_tokens=MAX_NEW_TOKENS, pad_token_id=1, eos_token_id=(50118,))
+    rng = jax.random.PRNGKey(0)
+
+    pixel_u8 = jax.device_put(
+        np.random.default_rng(1).integers(0, 256, size=(v, 3, FRAMES, 224, 224), dtype=np.uint8)
+    )
+
+    @jax.jit
+    def baseline_step(variables, pixel_u8):
+        pixel = process_videos(pixel_u8, dtype=jnp.bfloat16)
+        embeds = model.apply(variables, ids_d, pixel, vim_d, method=VB.embed_and_scatter)
+        return _greedy_sample_decoder_only(model, variables, embeds, mask_d, gen_cfg, rng)
+
+    @jax.jit
+    def decode_from_features(variables, feats):
+        embeds = model.apply(
+            variables, ids_d, None, vim_d, method=VB.embed_and_scatter, video_features=feats
+        )
+        return _greedy_sample_decoder_only(model, variables, embeds, mask_d, gen_cfg, rng)
+
+    pixel_bf16 = jax.jit(lambda p: process_videos(p, dtype=jnp.bfloat16))
+
+    def timed(fn, n):
+        fn()  # warm
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        return (time.perf_counter() - t0) / n
+
+    # -- baseline: the headline path (monolithic encode inside the step) -----
+    base = timed(lambda: np.asarray(baseline_step(variables, pixel_u8)), reps)
+    print(f"baseline (no cache):        {base:6.3f} s/batch  {v/base:6.1f} videos/s")
+
+    # -- cold: every key new (misses bucket through the cache) ---------------
+    cache = VideoFeatureCache(model, variables, capacity=POOL + 4096, bucket=4)
+    counter = [0]
+
+    def cold_step():
+        keys = [f"cold{counter[0]}_{i}" for i in range(v)]
+        counter[0] += 1
+        feats = cache.features(keys, pixel_bf16(pixel_u8))
+        return np.asarray(decode_from_features(variables, feats))
+
+    cold = timed(cold_step, reps)
+    print(f"cold cache (all miss):      {cold:6.3f} s/batch  {v/cold:6.1f} videos/s")
+
+    # -- warm contexts: pre-warm a POOL of example videos, then per batch draw
+    #    64 context keys from it; only the 4 query videos encode -------------
+    pool_px = pixel_bf16(pixel_u8)
+    for s in range(0, POOL, v):
+        n = min(v, POOL - s)
+        cache.features([f"pool{s + i}" for i in range(n)], pool_px[:n])
+    draw = np.random.default_rng(7)
+
+    def warm_step():
+        keys = []
+        for b in range(BATCH):
+            keys += [f"pool{k}" for k in draw.integers(0, POOL, size=SHOTS)]
+            keys.append(f"q{counter[0]}_{b}")
+        counter[0] += 1
+        feats = cache.features(keys, pixel_bf16(pixel_u8))
+        return np.asarray(decode_from_features(variables, feats))
+
+    h0, m0 = cache.hits, cache.misses
+    warm = timed(warm_step, reps)
+    hits, misses = cache.hits - h0, cache.misses - m0
+    rate = hits / max(hits + misses, 1)
+    print(
+        f"warm contexts (hit {rate:.0%}): {warm:6.3f} s/batch  {v/warm:6.1f} videos/s"
+        f"  ({BATCH/warm:.2f} datapoints/s)"
+    )
+    print(f"speedup over baseline: cold {base/cold:.2f}x, warm {base/warm:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

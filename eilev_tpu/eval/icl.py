@@ -112,6 +112,7 @@ class IclEvaluator:
         few_shot_prompt: str = FEW_SHOT_PROMPT,
         rng: Optional[_random.Random] = None,
         dtype=jnp.float32,
+        vision_cache: Optional[int] = None,
     ):
         self.model = model
         self.variables = variables
@@ -128,6 +129,17 @@ class IclEvaluator:
         cfg = model.config
         self.num_query_tokens = cfg.num_query_tokens
         self._class_cache: dict[tuple, tuple] = {}
+        # vision-feature reuse: the verb and noun stages score the SAME videos
+        # (reference icl_eval.py:239-313 encodes them twice), and few-shot
+        # examples recur across datapoints; vision_cache = LRU capacity in
+        # videos (None disables — the default, bit-parity-conservative path)
+        self._feature_cache = None
+        if vision_cache:
+            from ..serving import VideoFeatureCache
+
+            self._feature_cache = VideoFeatureCache(
+                model, variables, capacity=vision_cache
+            )
 
     # -- preprocessing -------------------------------------------------
 
@@ -176,6 +188,7 @@ class IclEvaluator:
         datapoints: list[dict],
         few_shots: list[list[dict]],
         classes: list[str],
+        video_keys: Optional[list] = None,
     ) -> list[int]:
         """Classify a BATCH of datapoints in one device program (the reference
         loops one datapoint per classify call - icl_eval.py:239-313; batching
@@ -197,6 +210,10 @@ class IclEvaluator:
         )
         vim = np.stack([_pad_1d(b["video_input_mask"], bucket, 0, "left") for b in builts])
         pixel = jnp.concatenate(pixels, axis=0)
+        video_features = None
+        if self._feature_cache is not None and video_keys is not None:
+            video_features = self._feature_cache.features(video_keys, pixel)
+            pixel = None
         class_ids, class_mask = self._tokenize_classes(classes)
         ll = classify(
             self.model,
@@ -208,6 +225,7 @@ class IclEvaluator:
             prompt_video_input_mask=jnp.asarray(vim),
             class_attention_mask=jnp.asarray(class_mask),
             class_batch_size=self.class_batch_size,
+            video_features=video_features,
         )
         return [int(i) for i in np.asarray(ll).argmax(axis=-1)]
 
@@ -248,12 +266,22 @@ class IclEvaluator:
                 [train_dataset[self.rng.randrange(len(train_dataset))] for _ in range(self.num_shot)]
                 for _ in idx
             ]
+            # video order matches _build_prompt's pixel stacking: per row,
+            # the few-shot examples then the query
+            video_keys = None
+            if self._feature_cache is not None:
+                video_keys = [
+                    ex["frame_path"]
+                    for fs, dp in zip(few_shots, datapoints)
+                    for ex in [*fs, dp]
+                ]
             # stage 1: verb
             pv_idx = self._classify_batch(
                 [self.few_shot_prompt + " The camera wearer"] * len(idx),
                 datapoints,
                 few_shots,
                 verb_list,
+                video_keys=video_keys,
             )
             pred_verb_prompts = [verb_list[i] for i in pv_idx]
             for dp, pvp in zip(datapoints, pred_verb_prompts):
@@ -276,6 +304,7 @@ class IclEvaluator:
                 datapoints,
                 few_shots,
                 noun_list,
+                video_keys=video_keys,
             )
             for dp, ni in zip(datapoints, pn_idx):
                 pred_noun_prompt = noun_list[ni]

@@ -25,9 +25,13 @@ from ..models.video_blip import VideoBlipForConditionalGeneration as VB
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
-def _encode_prompt_seq2seq(model: VB, variables, input_ids, attention_mask, pixel_values, video_input_mask):
+def _encode_prompt_seq2seq(
+    model: VB, variables, input_ids, attention_mask, pixel_values, video_input_mask,
+    video_features=None,
+):
     inputs_embeds = model.apply(
-        variables, input_ids, pixel_values, video_input_mask, method=VB.embed_and_scatter
+        variables, input_ids, pixel_values, video_input_mask,
+        method=VB.embed_and_scatter, video_features=video_features,
     )
     return model.apply(variables, inputs_embeds, attention_mask, method=VB.t5_encode)
 
@@ -58,9 +62,13 @@ def _score_classes_seq2seq(
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
-def _prefill_prompt(model: VB, variables, input_ids, attention_mask, pixel_values, video_input_mask):
+def _prefill_prompt(
+    model: VB, variables, input_ids, attention_mask, pixel_values, video_input_mask,
+    video_features=None,
+):
     inputs_embeds = model.apply(
-        variables, input_ids, pixel_values, video_input_mask, method=VB.embed_and_scatter
+        variables, input_ids, pixel_values, video_input_mask,
+        method=VB.embed_and_scatter, video_features=video_features,
     )
     b, s, _ = inputs_embeds.shape
     cache = opt_mod.init_cache(model.config.text_config, b, s, dtype=inputs_embeds.dtype)
@@ -106,11 +114,19 @@ def classify(
     prompt_video_input_mask: Optional[jax.Array] = None,
     class_attention_mask: Optional[jax.Array] = None,
     class_batch_size: Optional[int] = None,
+    video_features: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Mean log-likelihood of each class continuation given the prompt.
 
     Args mirror reference ``classify`` (v2.py:326-350); prompts must be
     LEFT-padded (v2.py:339-340). Returns (batch, num_classes) float32.
+
+    ``video_features`` (precomputed ``encode_videos`` output, flattened
+    (num_videos * num_query_tokens, text_hidden)) skips the vision tower —
+    the icl_eval workload calls classify twice per datapoint (verb, then noun
+    — reference icl_eval.py:239-313) on the SAME videos, so encoding once and
+    passing features here halves the vision work even without cross-datapoint
+    reuse (serving.VideoFeatureCache adds that).
     """
     if prompt_attention_mask is None:
         prompt_attention_mask = jnp.ones_like(prompt_input_ids)
@@ -123,7 +139,8 @@ def classify(
         # seq2seq: one encoder pass, classes attend the shared encoder states
         encoder_hidden = _encode_prompt_seq2seq(
             model, variables, prompt_input_ids, prompt_attention_mask,
-            pixel_values, prompt_video_input_mask,
+            None if video_features is not None else pixel_values,
+            prompt_video_input_mask, video_features,
         )
         step = class_batch_size or num_classes
         chunks = [
@@ -138,7 +155,9 @@ def classify(
         return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
 
     last_logits, cache = _prefill_prompt(
-        model, variables, prompt_input_ids, prompt_attention_mask, pixel_values, prompt_video_input_mask
+        model, variables, prompt_input_ids, prompt_attention_mask,
+        None if video_features is not None else pixel_values,
+        prompt_video_input_mask, video_features,
     )
 
     if class_batch_size is None or class_batch_size >= num_classes:

@@ -638,6 +638,7 @@ def generate(
     vision_chunks: int = 1,
     draft_layers: Optional[int] = None,
     draft_tokens: int = 4,
+    video_features: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Drop-in equivalent of reference ``VideoBlipForConditionalGeneration.generate``
     (v2.py:254-324): encode videos, scatter into the prompt embeddings, decode.
@@ -649,6 +650,11 @@ def generate(
     ``draft_layers=k`` (decoder-only greedy) switches to speculative decoding
     with the target's first k layers self-drafting ``draft_tokens`` tokens per
     verify pass — TOKEN-IDENTICAL output (generation/speculative.py).
+
+    ``video_features`` accepts precomputed ``encode_videos`` output
+    ((num_videos * num_query_tokens, text_hidden)) and skips the vision tower —
+    pair with ``serving.VideoFeatureCache`` when prompt videos recur across
+    calls; takes precedence over ``pixel_values``.
 
     Returns (B, <=max_new_tokens) generated token ids (decoder-only LMs: new tokens
     only; seq2seq: includes the decoder start token, like HF).
@@ -671,7 +677,14 @@ def generate(
     if attention_mask is None:
         attention_mask = jnp.ones_like(input_ids)
 
-    if vision_chunks > 1 and pixel_values is not None:
+    if video_features is not None:
+        # precomputed encode_videos output (serving.VideoFeatureCache):
+        # skip the vision tower entirely
+        inputs_embeds = model.apply(
+            variables, input_ids, None, video_input_mask,
+            method=type(model).embed_and_scatter, video_features=video_features,
+        )
+    elif vision_chunks > 1 and pixel_values is not None:
         from ..models.video_blip import embed_and_scatter_chunked
 
         inputs_embeds = embed_and_scatter_chunked(

@@ -98,8 +98,19 @@ class VideoBlipForConditionalGeneration(nn.Module):
         pixel_values: Optional[jax.Array],
         video_input_mask: Optional[jax.Array],
         deterministic: bool = True,
+        video_features: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """Token embeddings with video features scattered at the mask positions.
+
+        ``video_features`` short-circuits the vision tower with precomputed
+        ``encode_videos`` output ((num_videos * num_query_tokens, text_hidden)
+        — e.g. from serving.VideoFeatureCache); the reference re-encodes every
+        video on every call (v2.py:359-389, v2.py:285-316).
+        """
         inputs_embeds = self.language_model.embed(input_ids)
+        if video_features is not None:
+            assert video_input_mask is not None
+            return scatter_video_features(inputs_embeds, video_input_mask, video_features)
         if pixel_values is not None:
             assert video_input_mask is not None
             video_features = self.encode_videos(pixel_values, deterministic=deterministic)

@@ -32,19 +32,25 @@ class VideoBlipV1ForConditionalGeneration(VideoBlipForConditionalGeneration):
         input_ids: jax.Array,
         pixel_values: Optional[jax.Array],
         video_input_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        video_features: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, jax.Array]:
         """v1 composition: [video features | token embeddings].
 
         Returns (inputs_embeds, num_prefix_tokens is implied by shape). One video
-        per sample: pixel_values (B, C, T, H, W).
+        per sample: pixel_values (B, C, T, H, W). ``video_features`` short-circuits
+        the vision tower with precomputed ``encode_videos`` output ((B * Q, D)).
         """
         del video_input_mask  # v1 has no scatter mask; features are a prefix
+        del deterministic
         inputs_embeds = self.language_model.embed(input_ids)
-        if pixel_values is None:
-            return inputs_embeds
-        b = pixel_values.shape[0]
-        features = self.encode_videos(pixel_values)  # (B * Q, D)
-        features = features.reshape(b, self.config.num_query_tokens, -1)
+        if video_features is None:
+            if pixel_values is None:
+                return inputs_embeds
+            video_features = self.encode_videos(pixel_values)  # (B * Q, D)
+        features = video_features.reshape(
+            inputs_embeds.shape[0], self.config.num_query_tokens, -1
+        )
         return jnp.concatenate([features.astype(inputs_embeds.dtype), inputs_embeds], axis=1)
 
     def __call__(

@@ -2,6 +2,13 @@
 multi-turn chat sessions with incremental prefill."""
 
 from .engine import Completion, ContinuousBatchingEngine, Request
+from .feature_cache import VideoFeatureCache
 from .session import ChatSession
 
-__all__ = ["ChatSession", "Completion", "ContinuousBatchingEngine", "Request"]
+__all__ = [
+    "ChatSession",
+    "Completion",
+    "ContinuousBatchingEngine",
+    "Request",
+    "VideoFeatureCache",
+]

@@ -42,7 +42,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from collections import deque
-from typing import Any, Optional
+from typing import TYPE_CHECKING, Any, Hashable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,9 @@ from ..generation.decoding import _decode_chunk
 from ..models import opt as opt_mod
 from ..models.video_blip import VideoBlipForConditionalGeneration as VB
 
+if TYPE_CHECKING:
+    from .feature_cache import VideoFeatureCache
+
 
 @dataclasses.dataclass
 class Request:
@@ -63,6 +66,9 @@ class Request:
     pixel_values: Optional[np.ndarray]  # (V, C, T, H, W) or None (text-only)
     video_input_mask: Optional[np.ndarray]  # (P,) 0/1
     rid: int = -1
+    # per-video identities (len V, e.g. frame_paths) for the engine's optional
+    # VideoFeatureCache; ignored when the engine has no cache
+    feature_keys: Optional[Sequence[Hashable]] = None
 
 
 @dataclasses.dataclass
@@ -148,6 +154,7 @@ class ContinuousBatchingEngine:
         prefill_bucket: int = 64,
         rng: Optional[jax.Array] = None,
         vision_chunks: int = 1,
+        feature_cache: Optional["VideoFeatureCache"] = None,
     ):
         if not isinstance(model.config.text_config, OPTConfig) and not hasattr(
             model.config.text_config, "num_key_value_heads"
@@ -167,6 +174,7 @@ class ContinuousBatchingEngine:
         self.chunk_tokens = chunk_tokens
         self.prefill_bucket = prefill_bucket
         self.vision_chunks = vision_chunks
+        self.feature_cache = feature_cache
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._dtype = model.dtype
         self._queue: deque[Request] = deque()
@@ -272,7 +280,7 @@ class ContinuousBatchingEngine:
                 if req.video_input_mask is not None
                 else None
             )
-            embeds = self._embed(ids, req.pixel_values, vim)
+            embeds = self._embed(ids, req.pixel_values, vim, req.feature_keys)
             self._cache, self._logits, self._finished = _admit(
                 self.model,
                 self.variables,
@@ -287,7 +295,7 @@ class ContinuousBatchingEngine:
             self._emitted[slot] = []
             self._admitted_chunk[slot] = self._chunk_count
 
-    def _embed(self, ids, pixel_values, vim) -> jax.Array:
+    def _embed(self, ids, pixel_values, vim, feature_keys=None) -> jax.Array:
         kw = dict(
             input_ids=jnp.asarray(ids[None]),
             pixel_values=(
@@ -297,6 +305,12 @@ class ContinuousBatchingEngine:
             ),
             video_input_mask=jnp.asarray(vim[None]) if vim is not None else None,
         )
+        if self.feature_cache is not None and feature_keys is not None:
+            feats = self.feature_cache.features(feature_keys, kw["pixel_values"])
+            return self.model.apply(
+                self.variables, kw["input_ids"], None, kw["video_input_mask"],
+                method=VB.embed_and_scatter, video_features=feats,
+            )
         if self.vision_chunks > 1 and pixel_values is not None:
             from ..models.video_blip import embed_and_scatter_chunked
 

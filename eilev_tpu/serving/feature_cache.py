@@ -1,0 +1,156 @@
+"""Cross-request video-feature cache: encode each distinct video once.
+
+The reference re-encodes every prompt video through the ViT on every call —
+``generate`` (reference v2.py:285-316) and ``classify`` (v2.py:359-389) both
+start from pixels, and the two-stage ICL eval (reference icl_eval.py:239-313)
+therefore runs the vision tower TWICE per datapoint (verb prompt, then noun
+prompt) over the same 17 videos. Across an eval set the in-context example
+videos recur heavily besides: 16 of 17 videos per datapoint are drawn from a
+shared example pool (reference frame.py:179-266), so at steady state only the
+query video is new.
+
+On TPU the vision tower is ~83% of the flagship step (docs/PERF.md), which
+makes feature reuse the largest workload-level throughput lever. This cache
+stores, per video identity (any hashable key — frame_path in the eval CLIs),
+the per-video ``encode_videos`` output after language projection:
+(num_query_tokens, text_hidden) ≈ 160 KB bf16 at blip2-opt-2.7b geometry, so
+the default 2048-entry capacity holds ~330 MB HBM against the ~5.6 GB the
+bf16 weights occupy.
+
+Numerics: misses are encoded in fixed-size buckets through one jitted
+``encode_videos`` call. Each video's features are mathematically independent
+of its batch-mates (frames are row-independent through the ViT and the
+Q-Former attends within one video); the only deviation from the monolithic
+in-prompt encode is XLA's batch-size-dependent reduction tiling (~1e-6 fp32,
+the same envelope as the ``vision_chunks`` path). Greedy and beam
+``generate(video_features=...)`` outputs are token-identical to the pixel
+path in the test suite.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import OrderedDict
+from typing import Hashable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models.video_blip import VideoBlipForConditionalGeneration as VB
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _encode_bucket(model: VB, variables, pixel_values: jax.Array) -> jax.Array:
+    feats = model.apply(variables, pixel_values, method=VB.encode_videos)
+    q = model.config.num_query_tokens
+    return feats.reshape(pixel_values.shape[0], q, -1)  # (bucket, Q, text_hidden)
+
+
+class VideoFeatureCache:
+    """LRU cache of per-video Q-Former features, keyed by caller identity.
+
+    Usage::
+
+        cache = VideoFeatureCache(model, variables)
+        feats = cache.features(frame_paths, pixel_values)  # (V*Q, text_hidden)
+        generate(model, variables, ..., video_features=feats)
+
+    ``bucket`` fixes the shape of the jitted miss-encode call (one XLA compile
+    total; the last chunk is zero-padded), and doubles as the activation-peak
+    cap the ``vision_chunks`` knob provides on the monolithic path.
+    """
+
+    def __init__(
+        self,
+        model: VB,
+        variables,
+        *,
+        capacity: int = 2048,
+        bucket: int = 8,
+    ) -> None:
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        if bucket < 1:
+            raise ValueError(f"bucket must be >= 1, got {bucket}")
+        self.model = model
+        self.variables = variables
+        self.capacity = capacity
+        self.bucket = bucket
+        self._store: OrderedDict[Hashable, jax.Array] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+    @property
+    def hit_rate(self) -> float:
+        total = self.hits + self.misses
+        return self.hits / total if total else 0.0
+
+    def features(
+        self,
+        keys: Sequence[Hashable],
+        pixel_values: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Per-video features for ``keys``, encoding only the cache misses.
+
+        ``pixel_values`` rows ((V, C, T, H, W)) correspond 1:1 with ``keys``
+        and may be omitted when every key is already cached. Returns the
+        flattened (len(keys) * num_query_tokens, text_hidden) array that
+        ``generate(video_features=...)`` / ``classify(video_features=...)``
+        and ``embed_and_scatter`` consume.
+        """
+        keys = list(keys)
+        local: dict[Hashable, jax.Array] = {}
+        miss_idx: list[int] = []
+        for i, k in enumerate(keys):
+            if k in local:
+                self.hits += 1  # duplicate within this call: encoded once
+            elif k in self._store:
+                self.hits += 1
+                self._store.move_to_end(k)
+                local[k] = self._store[k]
+            else:
+                miss_idx.append(i)
+                local[k] = None  # type: ignore[assignment]  # filled below
+                self.misses += 1
+
+        if miss_idx:
+            if pixel_values is None:
+                missing = [keys[i] for i in miss_idx]
+                raise ValueError(
+                    f"pixel_values is required: {len(missing)} uncached key(s), "
+                    f"e.g. {missing[:3]}"
+                )
+            if pixel_values.shape[0] != len(keys):
+                raise ValueError(
+                    f"pixel_values has {pixel_values.shape[0]} videos for "
+                    f"{len(keys)} keys"
+                )
+            self._encode_misses(keys, pixel_values, miss_idx, local)
+
+        return jnp.concatenate([local[k] for k in keys], axis=0)
+
+    # -- internals ----------------------------------------------------------
+
+    def _encode_misses(self, keys, pixel_values, miss_idx, local) -> None:
+        pixel_values = jnp.asarray(pixel_values, self.model.dtype)
+        for start in range(0, len(miss_idx), self.bucket):
+            chunk_idx = miss_idx[start : start + self.bucket]
+            px = jnp.take(pixel_values, jnp.asarray(chunk_idx), axis=0)
+            pad = self.bucket - px.shape[0]
+            if pad:
+                px = jnp.concatenate(
+                    [px, jnp.zeros((pad, *px.shape[1:]), px.dtype)], axis=0
+                )
+            feats = _encode_bucket(self.model, self.variables, px)
+            for j, i in enumerate(chunk_idx):
+                key = keys[i]
+                local[key] = feats[j]
+                self._store[key] = feats[j]
+                self._store.move_to_end(key)
+                if len(self._store) > self.capacity:
+                    self._store.popitem(last=False)
+                    self.evictions += 1

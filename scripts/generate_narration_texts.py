@@ -65,6 +65,12 @@ def parse_args():
                         "with the first N layers self-drafting")
     p.add_argument("--draft_tokens", type=int, default=4,
                    help="draft tokens per verify pass (with --draft_layers)")
+    p.add_argument("--vision_cache", type=int, default=0,
+                   help="LRU video-feature cache capacity (videos), keyed by "
+                        "frame_path: each distinct video runs the vision tower "
+                        "once across the whole run (0 = off). In-context "
+                        "examples recur across datapoints, so at steady state "
+                        "only the query video is new.")
     p.add_argument("--eval_frames_dir", required=True)
     p.add_argument("--eval_annotation_file")
     p.add_argument("--in_context_query_map_file", required=True)
@@ -119,6 +125,22 @@ def main() -> None:
         set_default_attention_impl("xla")
 
     decoder_only = config.use_decoder_only_language_model
+
+    vision_cache = None
+    if args.vision_cache:
+        if args.shuffle_in_context_example_frames:
+            # the derangement ablation permutes videos relative to their
+            # frame_paths, so path-keyed caching would reuse wrong features
+            raise ValueError(
+                "--vision_cache cannot be combined with "
+                "--shuffle_in_context_example_frames"
+            )
+        from eilev_tpu.serving import VideoFeatureCache
+
+        vision_cache = VideoFeatureCache(
+            model, variables, capacity=args.vision_cache,
+            bucket=max(args.vision_chunks, 1) * 8,
+        )
 
     def preprocess(datapoint):
         items = datapoint["items"]
@@ -189,6 +211,17 @@ def main() -> None:
         pixel = process_videos(
             jnp.asarray(batch["pixel_values"]), height=img, width=img, dtype=dtype
         )
+        video_features = None
+        if vision_cache is not None:
+            # key order matches the collator's video cat: per row, the
+            # in-context examples then the query
+            keys = [
+                p
+                for m in meta
+                for p in (*m["in_context_frame_paths"], m["frame_path"])
+            ]
+            video_features = vision_cache.features(keys, pixel)
+            pixel = None
         tokens = generate(
             model,
             variables,
@@ -200,6 +233,7 @@ def main() -> None:
             vision_chunks=args.vision_chunks,
             draft_layers=args.draft_layers or None,
             draft_tokens=args.draft_tokens,
+            video_features=video_features,
         )
         return meta, tokens
 

@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--num_eval_datapoints", default=0, type=int)
     p.add_argument("--random-seed", type=int, default=42)
     p.add_argument("--class_batch_size", type=int, default=None)
+    p.add_argument("--vision_cache", type=int, default=0,
+                   help="LRU video-feature cache capacity (videos); encodes "
+                        "each distinct video once across the verb+noun stages "
+                        "and across datapoints (0 = off)")
     p.add_argument("--model_parallel", type=int, default=0,
                    help="shard the model weights over N devices (tensor"
                    " parallel); 0/1 = replicated")
@@ -114,6 +118,7 @@ def main() -> None:
         class_batch_size=args.class_batch_size,
         rng=random.Random(args.random_seed),
         dtype=dtype,
+        vision_cache=args.vision_cache or None,
     )
     result = evaluator.evaluate(
         eval_dataset, train_dataset, progress=True, batch_size=args.eval_batch_size

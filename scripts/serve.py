@@ -57,6 +57,10 @@ def parse_args():
                    help="requests/sec (open loop, exponential gaps, seed "
                         "--random_seed); 0 = submit everything up front")
     p.add_argument("--vision_chunks", type=int, default=1)
+    p.add_argument("--vision_cache", type=int, default=0,
+                   help="LRU video-feature cache capacity (videos), keyed by "
+                        "frame_path: recurring in-context videos skip the "
+                        "vision tower (0 = off)")
     p.add_argument("--model_parallel", type=int, default=0,
                    help="shard the model weights over N devices (tensor parallel);"
                    " 0/1 = replicated")
@@ -142,11 +146,19 @@ def main():
     if gen_cfg.eos_token_id is None:  # model-default eos, like generate()
         gen_cfg = gen_cfg.with_eos(config.text_config.eos_token_id)
 
+    feature_cache = None
+    if args.vision_cache:
+        from eilev_tpu.serving import VideoFeatureCache
+
+        feature_cache = VideoFeatureCache(
+            model, variables, capacity=args.vision_cache,
+            bucket=max(args.vision_chunks, 1) * 8,
+        )
     engine = ContinuousBatchingEngine(
         model, variables, gen_cfg,
         max_slots=args.max_slots, max_len=args.max_len,
         chunk_tokens=args.chunk_tokens, prefill_bucket=args.prefill_bucket,
-        vision_chunks=args.vision_chunks,
+        vision_chunks=args.vision_chunks, feature_cache=feature_cache,
     )
 
     n = len(dataset) if args.num_eval_datapoints is None else min(
@@ -182,6 +194,11 @@ def main():
                     input_ids=np.asarray(feats["input_ids"]),
                     pixel_values=pixel,
                     video_input_mask=np.asarray(feats["video_input_mask"]),
+                    feature_keys=(
+                        [*feats["in_context_frame_paths"], feats["frame_path"]]
+                        if feature_cache is not None
+                        else None
+                    ),
                 )
             )
             meta[rid] = feats

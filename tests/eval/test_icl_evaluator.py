@@ -1,0 +1,83 @@
+"""IclEvaluator vision-feature caching: predictions with ``vision_cache`` set
+must be identical to the uncached two-stage eval (the cache only moves the
+vision tower out of the classify calls), and the noun stage must be all hits
+(the reference encodes the same videos twice per datapoint —
+icl_eval.py:239-313).
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eilev_tpu import configs
+from eilev_tpu.eval import IclEvaluator
+from eilev_tpu.models import VideoBlipForConditionalGeneration
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    from tests.util_tokenizer import build_tiny_tokenizer
+
+    tok_dir = tmp_path_factory.mktemp("icl_tok")
+    tokenizer = build_tiny_tokenizer(str(tok_dir), vocab_size=384)
+
+    cfg = configs.tiny_config(text_model="opt", vocab_size=384)
+    model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.float32)
+    img = cfg.vision_config.image_size
+    rng = np.random.default_rng(0)
+
+    verbs = ["take", "cut"]
+    nouns = ["knife", "onion"]
+
+    def make_dp(i):
+        return {
+            "frame_path": f"vid{i}|0",
+            "narration_text": f"#C C does {verbs[i % 2]} {nouns[i // 2 % 2]}",
+            "structured_verb": verbs[i % 2],
+            "structured_noun": nouns[i // 2 % 2],
+            "video": rng.integers(0, 255, (3, 2, img, img)).astype(np.uint8),
+        }
+
+    train = [make_dp(i) for i in range(4)]
+    eval_ds = [make_dp(10 + i) for i in range(3)]
+
+    ids = jnp.asarray([[2] + [1] * cfg.num_query_tokens + [4, 5]])
+    vim = jnp.zeros_like(ids).at[:, 1 : 1 + cfg.num_query_tokens].set(1)
+    pixel = jnp.asarray(rng.normal(size=(1, 3, 2, img, img)), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=ids, pixel_values=pixel, video_input_mask=vim
+    )["params"]
+
+    kw = dict(
+        verb_prompts={"takes": "take", "cuts": "cut"},
+        noun_prompts={"a knife": "knife", "an onion": "onion"},
+        verbs=verbs,
+        nouns=nouns,
+        num_shot=1,
+        dtype=jnp.float32,
+    )
+    return model, {"params": params}, tokenizer, train, eval_ds, kw
+
+
+def test_vision_cache_predictions_identical(world):
+    model, variables, tokenizer, train, eval_ds, kw = world
+
+    base = IclEvaluator(
+        model, variables, tokenizer, rng=random.Random(7), **kw
+    ).evaluate(eval_ds, train, batch_size=2)
+
+    ev = IclEvaluator(
+        model, variables, tokenizer, rng=random.Random(7), vision_cache=64, **kw
+    )
+    cached = ev.evaluate(eval_ds, train, batch_size=2)
+
+    assert cached.verb_predictions == base.verb_predictions
+    assert cached.noun_predictions == base.noun_predictions
+    assert cached.verb_f1 == base.verb_f1 and cached.noun_f1 == base.noun_f1
+    # every video of the noun stage was already encoded by the verb stage
+    assert ev._feature_cache is not None
+    assert ev._feature_cache.hits >= ev._feature_cache.misses
+    assert ev._feature_cache.misses <= len(train) + len(eval_ds)

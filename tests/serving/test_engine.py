@@ -161,3 +161,31 @@ def test_engine_tensor_parallel_matches(world):
     assert sorted(done) == [0, 1, 2]
     for rid, completion in done.items():
         np.testing.assert_array_equal(completion.tokens, ref[rid], err_msg=str(rid))
+
+
+def test_engine_feature_cache_matches(world):
+    """Requests routed through a VideoFeatureCache (shared in-context videos
+    encode once) still reproduce the isolated pixel-path outputs exactly."""
+    from eilev_tpu.serving import VideoFeatureCache
+
+    cfg, model, variables, make_request = world
+    gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=1)
+    requests = [make_request(40 + seed, extra_text=seed % 3) for seed in range(3)]
+    # make requests 1 and 2 share request 0's video under a shared key
+    shared = requests[0].pixel_values
+    requests = [
+        dataclasses.replace(r, pixel_values=shared, feature_keys=["shared"])
+        for r in requests
+    ]
+    ref = _reference_rows(model, variables, gen_cfg, requests)
+
+    cache = VideoFeatureCache(model, variables, bucket=2)
+    eng = ContinuousBatchingEngine(
+        model, variables, gen_cfg, max_slots=2, max_len=96,
+        chunk_tokens=3, prefill_bucket=16, feature_cache=cache,
+    )
+    done = eng.run([dataclasses.replace(r) for r in requests])
+    assert sorted(done) == [0, 1, 2]
+    for rid, completion in done.items():
+        np.testing.assert_array_equal(completion.tokens, ref[rid], err_msg=str(rid))
+    assert cache.misses == 1 and cache.hits == 2  # the shared video encoded once
