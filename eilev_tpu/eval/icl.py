@@ -23,7 +23,7 @@ import json
 import random as _random
 from collections import defaultdict
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -113,6 +113,7 @@ class IclEvaluator:
         rng: Optional[_random.Random] = None,
         dtype=jnp.float32,
         vision_cache: Optional[int] = None,
+        frame_loader: Optional[Callable[[str], np.ndarray]] = None,
     ):
         self.model = model
         self.variables = variables
@@ -133,13 +134,26 @@ class IclEvaluator:
         # (reference icl_eval.py:239-313 encodes them twice), and few-shot
         # examples recur across datapoints; vision_cache = LRU capacity in
         # videos (None disables — the default, bit-parity-conservative path)
+        # frame_loader (with vision_cache) makes the pixel supply LAZY: the
+        # datasets return metadata only (return_frames=False) and the cache
+        # PNG-decodes just its misses via loader(frame_path) — host decode is
+        # the measured input bottleneck (docs/PERF.md)
         self._feature_cache = None
+        self._frame_loader = frame_loader
         if vision_cache:
             from ..serving import VideoFeatureCache
 
+            img = cfg.vision_config.image_size
             self._feature_cache = VideoFeatureCache(
-                model, variables, capacity=vision_cache
+                model,
+                variables,
+                capacity=vision_cache,
+                preprocess=lambda px: process_videos(
+                    px, height=img, width=img, dtype=dtype
+                ),
             )
+        elif frame_loader is not None:
+            raise ValueError("frame_loader requires vision_cache")
 
     # -- preprocessing -------------------------------------------------
 
@@ -177,6 +191,8 @@ class IclEvaluator:
             self.num_query_tokens,
             True,
         )
+        if self._frame_loader is not None:
+            return built, None  # lazy: the feature cache loads its misses
         videos = np.stack([ex["video"] for ex in few_shot] + [datapoint["video"]])
         img = self.model.config.vision_config.image_size
         pixel = process_videos(jnp.asarray(videos), height=img, width=img, dtype=self.dtype)
@@ -209,10 +225,12 @@ class IclEvaluator:
             [_pad_1d(np.ones(len(b["input_ids"]), np.int64), bucket, 0, "left") for b in builts]
         )
         vim = np.stack([_pad_1d(b["video_input_mask"], bucket, 0, "left") for b in builts])
-        pixel = jnp.concatenate(pixels, axis=0)
+        pixel = None if pixels[0] is None else jnp.concatenate(pixels, axis=0)
         video_features = None
         if self._feature_cache is not None and video_keys is not None:
-            video_features = self._feature_cache.features(video_keys, pixel)
+            video_features = self._feature_cache.features(
+                video_keys, pixel, loader=self._frame_loader
+            )
             pixel = None
         class_ids, class_mask = self._tokenize_classes(classes)
         ll = classify(

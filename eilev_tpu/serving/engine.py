@@ -42,7 +42,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from collections import deque
-from typing import TYPE_CHECKING, Any, Hashable, Optional, Sequence
+from typing import TYPE_CHECKING, Any, Callable, Hashable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -155,7 +155,10 @@ class ContinuousBatchingEngine:
         rng: Optional[jax.Array] = None,
         vision_chunks: int = 1,
         feature_cache: Optional["VideoFeatureCache"] = None,
+        feature_loader: Optional[Callable[[Hashable], np.ndarray]] = None,
     ):
+        if feature_loader is not None and feature_cache is None:
+            raise ValueError("feature_loader requires feature_cache")
         if not isinstance(model.config.text_config, OPTConfig) and not hasattr(
             model.config.text_config, "num_key_value_heads"
         ):
@@ -175,6 +178,9 @@ class ContinuousBatchingEngine:
         self.prefill_bucket = prefill_bucket
         self.vision_chunks = vision_chunks
         self.feature_cache = feature_cache
+        # lazy pixel supply: requests may omit pixel_values entirely and the
+        # cache fetches frames for its MISSES via feature_loader(key)
+        self.feature_loader = feature_loader
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._dtype = model.dtype
         self._queue: deque[Request] = deque()
@@ -306,7 +312,9 @@ class ContinuousBatchingEngine:
             video_input_mask=jnp.asarray(vim[None]) if vim is not None else None,
         )
         if self.feature_cache is not None and feature_keys is not None:
-            feats = self.feature_cache.features(feature_keys, kw["pixel_values"])
+            feats = self.feature_cache.features(
+                feature_keys, kw["pixel_values"], loader=self.feature_loader
+            )
             return self.model.apply(
                 self.variables, kw["input_ids"], None, kw["video_input_mask"],
                 method=VB.embed_and_scatter, video_features=feats,

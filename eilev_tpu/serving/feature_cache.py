@@ -17,6 +17,13 @@ the per-video ``encode_videos`` output after language projection:
 the default 2048-entry capacity holds ~330 MB HBM against the ~5.6 GB the
 bf16 weights occupy.
 
+The cache also cuts HOST work: with ``features(keys, loader=...)`` the
+pixel supply is inverted — frames are fetched (PNG-decoded) for MISSED keys
+only, so at steady state the input pipeline decodes ~1 of 17 videos per
+datapoint instead of all 17. Host PNG decode is the measured input
+bottleneck (docs/PERF.md "Host input pipeline"), so this is what makes the
+device-side 4.3x reachable end to end.
+
 Numerics: misses are encoded in fixed-size buckets through one jitted
 ``encode_videos`` call. Each video's features are mathematically independent
 of its batch-mates (frames are row-independent through the ViT and the
@@ -31,12 +38,17 @@ from __future__ import annotations
 
 import functools
 from collections import OrderedDict
-from typing import Hashable, Optional, Sequence
+from typing import Callable, Hashable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.video_blip import VideoBlipForConditionalGeneration as VB
+
+
+def _rows_of(pixel_values: jax.Array, idx: Sequence[int]) -> jax.Array:
+    return jnp.take(pixel_values, jnp.asarray(list(idx)), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -67,6 +79,7 @@ class VideoFeatureCache:
         *,
         capacity: int = 2048,
         bucket: int = 8,
+        preprocess: Optional[Callable[[jax.Array], jax.Array]] = None,
     ) -> None:
         if capacity < 1:
             raise ValueError(f"capacity must be >= 1, got {capacity}")
@@ -76,6 +89,11 @@ class VideoFeatureCache:
         self.variables = variables
         self.capacity = capacity
         self.bucket = bucket
+        # applied to each stacked miss bucket ((bucket, C, T, H, W)) before
+        # encoding — e.g. ops.preprocess.process_videos to go uint8 frames ->
+        # resized/normalized model dtype on DEVICE. Only used on the lazy
+        # ``loader=`` path; ``pixel_values`` rows are assumed preprocessed.
+        self.preprocess = preprocess
         self._store: OrderedDict[Hashable, jax.Array] = OrderedDict()
         self.hits = 0
         self.misses = 0
@@ -83,6 +101,9 @@ class VideoFeatureCache:
 
     def __len__(self) -> int:
         return len(self._store)
+
+    def __contains__(self, key: Hashable) -> bool:
+        return key in self._store
 
     @property
     def hit_rate(self) -> float:
@@ -93,6 +114,8 @@ class VideoFeatureCache:
         self,
         keys: Sequence[Hashable],
         pixel_values: Optional[jax.Array] = None,
+        *,
+        loader: Optional[Callable[[Hashable], np.ndarray]] = None,
     ) -> jax.Array:
         """Per-video features for ``keys``, encoding only the cache misses.
 
@@ -101,6 +124,14 @@ class VideoFeatureCache:
         flattened (len(keys) * num_query_tokens, text_hidden) array that
         ``generate(video_features=...)`` / ``classify(video_features=...)``
         and ``embed_and_scatter`` consume.
+
+        ``loader`` inverts the pixel supply: instead of materializing every
+        video up front, the cache calls ``loader(key) -> (C, T, H, W)`` for
+        the MISSED keys only — at the eval workload's ~94% steady-state hit
+        rate this skips ~16x of the host PNG decode, which is the measured
+        input-pipeline bottleneck (docs/PERF.md). Pair with a dataset
+        constructed with ``return_frames=False`` and ``self.preprocess`` set
+        to the device transform (raw uint8 in, model dtype out).
         """
         keys = list(keys)
         local: dict[Hashable, jax.Array] = {}
@@ -118,34 +149,43 @@ class VideoFeatureCache:
                 self.misses += 1
 
         if miss_idx:
-            if pixel_values is None:
+            if pixel_values is not None:
+                if pixel_values.shape[0] != len(keys):
+                    raise ValueError(
+                        f"pixel_values has {pixel_values.shape[0]} videos for "
+                        f"{len(keys)} keys"
+                    )
+                pixels_of = functools.partial(
+                    _rows_of, jnp.asarray(pixel_values, self.model.dtype)
+                )
+            elif loader is not None:
+                pixels_of = lambda idx: np.stack([loader(keys[i]) for i in idx])
+            else:
                 missing = [keys[i] for i in miss_idx]
                 raise ValueError(
-                    f"pixel_values is required: {len(missing)} uncached key(s), "
-                    f"e.g. {missing[:3]}"
+                    f"pixel_values or loader is required: {len(missing)} "
+                    f"uncached key(s), e.g. {missing[:3]}"
                 )
-            if pixel_values.shape[0] != len(keys):
-                raise ValueError(
-                    f"pixel_values has {pixel_values.shape[0]} videos for "
-                    f"{len(keys)} keys"
-                )
-            self._encode_misses(keys, pixel_values, miss_idx, local)
+            self._encode_misses(keys, pixels_of, miss_idx, local, raw=pixel_values is None)
 
         return jnp.concatenate([local[k] for k in keys], axis=0)
 
     # -- internals ----------------------------------------------------------
 
-    def _encode_misses(self, keys, pixel_values, miss_idx, local) -> None:
-        pixel_values = jnp.asarray(pixel_values, self.model.dtype)
+    def _encode_misses(self, keys, pixels_of, miss_idx, local, raw: bool) -> None:
         for start in range(0, len(miss_idx), self.bucket):
             chunk_idx = miss_idx[start : start + self.bucket]
-            px = jnp.take(pixel_values, jnp.asarray(chunk_idx), axis=0)
+            px = jnp.asarray(pixels_of(chunk_idx))
             pad = self.bucket - px.shape[0]
             if pad:
                 px = jnp.concatenate(
                     [px, jnp.zeros((pad, *px.shape[1:]), px.dtype)], axis=0
                 )
-            feats = _encode_bucket(self.model, self.variables, px)
+            if raw and self.preprocess is not None:
+                px = self.preprocess(px)
+            feats = _encode_bucket(
+                self.model, self.variables, px.astype(self.model.dtype)
+            )
             for j, i in enumerate(chunk_idx):
                 key = keys[i]
                 local[key] = feats[j]

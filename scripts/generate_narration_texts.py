@@ -137,9 +137,13 @@ def main() -> None:
             )
         from eilev_tpu.serving import VideoFeatureCache
 
+        _img = config.vision_config.image_size
         vision_cache = VideoFeatureCache(
             model, variables, capacity=args.vision_cache,
             bucket=max(args.vision_chunks, 1) * 8,
+            preprocess=lambda px: process_videos(
+                px, height=_img, width=_img, dtype=dtype
+            ),
         )
 
     def preprocess(datapoint):
@@ -153,16 +157,21 @@ def main() -> None:
             decoder_only,
         )
         query = items[-1]
-        return {
+        out = {
             "narration_text": clean_narration_text(query["narration_text"]),
             "in_context_frame_paths": [i["frame_path"] for i in items[:-1]],
             "frame_path": query["frame_path"],
             "video_uid": query["video_uid"],
             "clip_index": query["clip_index"],
-            "pixel_values": np.stack([i["video"] for i in items]),
             **inputs,
         }
+        if "video" in items[0]:
+            out["pixel_values"] = np.stack([i["video"] for i in items])
+        return out
 
+    # with the feature cache, frames are fetched LAZILY for cache misses only
+    # (the dataset returns metadata; the cache's loader PNG-decodes just the
+    # missed videos) — host decode is the input bottleneck (docs/PERF.md)
     dataset = FrameInterleavedPresampledDataset(
         args.eval_frames_dir,
         args.in_context_query_map_file,
@@ -170,9 +179,25 @@ def main() -> None:
         annotation_file=args.eval_annotation_file,
         in_context_example_annotation_file=args.in_context_example_annotation_file,
         transform=preprocess,
+        return_frames=vision_cache is None,
         shuffle_in_context_example_frames=args.shuffle_in_context_example_frames,
         rng=random.Random(args.random_seed),
     )
+    frame_loader = None
+    if vision_cache is not None:
+        from eilev_tpu.data.frame import FrameDataset
+
+        _ctx_raw = FrameDataset(
+            args.in_context_example_frames_dir,
+            annotation_file=args.in_context_example_annotation_file,
+        )
+        _eval_raw = FrameDataset(
+            args.eval_frames_dir, annotation_file=args.eval_annotation_file
+        )
+
+        def frame_loader(key):
+            ds = _ctx_raw if key in _ctx_raw.dict_data else _eval_raw
+            return ds[key]["video"]
     # batch generation needs left padding (reference :230)
     collator = DataCollatorForInterleavedVideoSeq2Seq(
         pad_token_id=tokenizer.pad_token_id, padding_side="left"
@@ -207,10 +232,7 @@ def main() -> None:
             for k in ("narration_text", "in_context_frame_paths", "frame_path", "video_uid", "clip_index"):
                 f.pop(k)
         batch = collator(feats)
-        img = config.vision_config.image_size
-        pixel = process_videos(
-            jnp.asarray(batch["pixel_values"]), height=img, width=img, dtype=dtype
-        )
+        pixel = None
         video_features = None
         if vision_cache is not None:
             # key order matches the collator's video cat: per row, the
@@ -220,8 +242,12 @@ def main() -> None:
                 for m in meta
                 for p in (*m["in_context_frame_paths"], m["frame_path"])
             ]
-            video_features = vision_cache.features(keys, pixel)
-            pixel = None
+            video_features = vision_cache.features(keys, loader=frame_loader)
+        else:
+            img = config.vision_config.image_size
+            pixel = process_videos(
+                jnp.asarray(batch["pixel_values"]), height=img, width=img, dtype=dtype
+            )
         tokens = generate(
             model,
             variables,

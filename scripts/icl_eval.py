@@ -94,12 +94,27 @@ def main() -> None:
         taxonomy = json.load(f)
 
     verb_noun = load_narrated_action_verb_noun(args.fho_main)
+    # with --vision_cache, datasets return metadata only and the feature
+    # cache PNG-decodes just its misses (lazy loader below)
+    lazy = bool(args.vision_cache)
     train_dataset = add_and_filter_verb_noun(
-        verb_noun, FrameDataset(args.train_narrated_actions_dir), 0
+        verb_noun,
+        FrameDataset(args.train_narrated_actions_dir, return_frames=not lazy),
+        0,
     )
     eval_dataset = add_and_filter_verb_noun(
-        verb_noun, FrameDataset(args.eval_narrated_actions_dir), args.num_eval_datapoints
+        verb_noun,
+        FrameDataset(args.eval_narrated_actions_dir, return_frames=not lazy),
+        args.num_eval_datapoints,
     )
+    frame_loader = None
+    if lazy:
+        _train_raw = FrameDataset(args.train_narrated_actions_dir)
+        _eval_raw = FrameDataset(args.eval_narrated_actions_dir)
+
+        def frame_loader(key):
+            ds = _train_raw if key in _train_raw.dict_data else _eval_raw
+            return ds[key]["video"]
 
     verb_prompts = load_prompt_map(args.structured_verb_prompt, "structured_verb")
     noun_prompts = load_prompt_map(args.structured_noun_prompt, "structured_noun")
@@ -119,6 +134,7 @@ def main() -> None:
         rng=random.Random(args.random_seed),
         dtype=dtype,
         vision_cache=args.vision_cache or None,
+        frame_loader=frame_loader,
     )
     result = evaluator.evaluate(
         eval_dataset, train_dataset, progress=True, batch_size=args.eval_batch_size

@@ -69,12 +69,20 @@ def parse_args():
     p.add_argument("--int8_vision", action="store_true")
     p.add_argument("--fast_gelu", action="store_true")
     p.add_argument("--random_seed", type=int, default=42)
+    p.add_argument("--compilation_cache", default=None,
+                   help="persistent XLA compilation cache dir (also "
+                        "EILEV_COMPILATION_CACHE): replica restarts skip the "
+                        "flagship-program XLA compiles (docs/PERF.md)")
     p.add_argument("--output_csv", required=True)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.compilation_cache:
+        from eilev_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
     from eilev_tpu.data.collate import DataCollatorForInterleavedVideoSeq2Seq
     from eilev_tpu.data.frame import FrameInterleavedPresampledDataset
     from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
@@ -121,16 +129,20 @@ def main():
             decoder_only,
         )
         query = items[-1]
-        return {
+        out = {
             "narration_text": clean_narration_text(query["narration_text"]),
             "frame_path": query["frame_path"],
             "video_uid": query["video_uid"],
             "clip_index": query["clip_index"],
             "in_context_frame_paths": [i["frame_path"] for i in items[:-1]],
-            "pixel_values": np.stack([i["video"] for i in items]),
             **inputs,
         }
+        if "video" in items[0]:
+            out["pixel_values"] = np.stack([i["video"] for i in items])
+        return out
 
+    # with the feature cache, frames are fetched LAZILY for cache misses only
+    # (host PNG decode is the measured input bottleneck — docs/PERF.md)
     dataset = FrameInterleavedPresampledDataset(
         args.eval_frames_dir,
         args.in_context_query_map_file,
@@ -138,6 +150,7 @@ def main():
         annotation_file=args.eval_annotation_file,
         in_context_example_annotation_file=args.in_context_example_annotation_file,
         transform=preprocess,
+        return_frames=not args.vision_cache,
         rng=random.Random(args.random_seed),
     )
     gen_cfg = GenerationConfig(
@@ -147,18 +160,37 @@ def main():
         gen_cfg = gen_cfg.with_eos(config.text_config.eos_token_id)
 
     feature_cache = None
+    feature_loader = None
     if args.vision_cache:
+        from eilev_tpu.data.frame import FrameDataset
         from eilev_tpu.serving import VideoFeatureCache
 
+        _img = config.vision_config.image_size
         feature_cache = VideoFeatureCache(
             model, variables, capacity=args.vision_cache,
             bucket=max(args.vision_chunks, 1) * 8,
+            preprocess=lambda px: process_videos(
+                px, height=_img, width=_img, dtype=dtype
+            ),
         )
+        _ctx_raw = FrameDataset(
+            args.in_context_example_frames_dir,
+            annotation_file=args.in_context_example_annotation_file,
+        )
+        _eval_raw = FrameDataset(
+            args.eval_frames_dir, annotation_file=args.eval_annotation_file
+        )
+
+        def feature_loader(key):
+            ds = _ctx_raw if key in _ctx_raw.dict_data else _eval_raw
+            return ds[key]["video"]
+
     engine = ContinuousBatchingEngine(
         model, variables, gen_cfg,
         max_slots=args.max_slots, max_len=args.max_len,
         chunk_tokens=args.chunk_tokens, prefill_bucket=args.prefill_bucket,
         vision_chunks=args.vision_chunks, feature_cache=feature_cache,
+        feature_loader=feature_loader,
     )
 
     n = len(dataset) if args.num_eval_datapoints is None else min(
@@ -183,22 +215,21 @@ def main():
         now = time.perf_counter() - t0
         for i in [i for i in pending if arrivals[i] <= now]:
             feats = dataset[i]
-            pixel = np.asarray(
-                process_videos(
-                    jnp.asarray(feats["pixel_values"]), height=img, width=img, dtype=dtype
+            pixel = None
+            if feature_cache is None:
+                pixel = np.asarray(
+                    process_videos(
+                        jnp.asarray(feats["pixel_values"]), height=img, width=img, dtype=dtype
+                    )
                 )
-            )
-            videos_per_request = pixel.shape[0]
+            keys = [*feats["in_context_frame_paths"], feats["frame_path"]]
+            videos_per_request = len(keys)
             rid = engine.submit(
                 Request(
                     input_ids=np.asarray(feats["input_ids"]),
                     pixel_values=pixel,
                     video_input_mask=np.asarray(feats["video_input_mask"]),
-                    feature_keys=(
-                        [*feats["in_context_frame_paths"], feats["frame_path"]]
-                        if feature_cache is not None
-                        else None
-                    ),
+                    feature_keys=keys if feature_cache is not None else None,
                 )
             )
             meta[rid] = feats

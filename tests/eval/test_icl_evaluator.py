@@ -81,3 +81,44 @@ def test_vision_cache_predictions_identical(world):
     assert ev._feature_cache is not None
     assert ev._feature_cache.hits >= ev._feature_cache.misses
     assert ev._feature_cache.misses <= len(train) + len(eval_ds)
+
+
+def test_lazy_frame_loader_predictions_identical(world):
+    """Metadata-only datasets + frame_loader: identical predictions, and the
+    loader runs once per distinct video (cache hits skip host frame IO)."""
+    model, variables, tokenizer, train, eval_ds, kw = world
+
+    base = IclEvaluator(
+        model, variables, tokenizer, rng=random.Random(7), **kw
+    ).evaluate(eval_ds, train, batch_size=2)
+
+    frames = {dp["frame_path"]: dp["video"] for dp in train + eval_ds}
+    loads: list[str] = []
+
+    def loader(key):
+        loads.append(key)
+        return frames[key]
+
+    meta_train = [{k: v for k, v in dp.items() if k != "video"} for dp in train]
+    meta_eval = [{k: v for k, v in dp.items() if k != "video"} for dp in eval_ds]
+    ev = IclEvaluator(
+        model, variables, tokenizer, rng=random.Random(7),
+        vision_cache=64, frame_loader=loader, **kw,
+    )
+    lazy = ev.evaluate(meta_eval, meta_train, batch_size=2)
+
+    assert lazy.verb_predictions == base.verb_predictions
+    assert lazy.noun_predictions == base.noun_predictions
+    assert lazy.verb_f1 == base.verb_f1 and lazy.noun_f1 == base.noun_f1
+    # one load per distinct video ever touched, regardless of how many
+    # classify calls referenced it
+    assert len(loads) == len(set(loads))
+    assert ev._feature_cache is not None and ev._feature_cache.misses == len(loads)
+
+
+def test_frame_loader_requires_cache(world):
+    model, variables, tokenizer, train, eval_ds, kw = world
+    with pytest.raises(ValueError, match="frame_loader requires vision_cache"):
+        IclEvaluator(
+            model, variables, tokenizer, frame_loader=lambda k: None, **kw
+        )

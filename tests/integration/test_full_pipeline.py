@@ -261,6 +261,10 @@ def test_generate_cli_serving_modes(world):
     assert len(int8kv) == 2  # lossy mode: runs, output well-formed
     int8vis = gen("gen-int8vis.csv", "--int8_vision")
     assert len(int8vis) == 2  # W8A8 vision: runs, output well-formed
+    # vision-feature cache (lazy frame loading: only cache misses are
+    # PNG-decoded) is token-identical to the monolithic pixel path
+    cached = gen("gen-vcache.csv", "--vision_cache", "64")
+    assert cached == plain
 
 
 def test_serve_cli_matches_static_generate(world):
@@ -286,6 +290,38 @@ def test_serve_cli_matches_static_generate(world):
             "--max_len", "128",
             "--chunk_tokens", "2",
             "--prefill_bucket", "32",
+            "--output_csv", out_csv,
+        ]
+    )
+    serve_rows = {r["frame_path"]: r["generated"] for r in csv.DictReader(open(out_csv))}
+    plain_rows = {r["frame_path"]: r["generated"] for r in csv.DictReader(open(plain_csv))}
+    assert serve_rows == plain_rows
+
+
+def test_serve_cli_vision_cache_matches(world):
+    """serve.py --vision_cache (lazy frame loading through the engine's
+    feature loader) stays byte-identical to the static generate CLI."""
+    frames_dir = world / "frames"
+    map_file = str(world / "icl-map-2-shot.jsonl")
+    plain_csv = world / "gen-plain.csv"
+    if not frames_dir.exists() or not plain_csv.exists():
+        pytest.skip("serving-modes test must run first")
+    out_csv = str(world / "serve-vcache.csv")
+    _run(
+        [
+            "scripts/serve.py",
+            "--model", str(world / "checkpoint"),
+            "--dtype", "fp32",
+            "--eval_frames_dir", str(frames_dir),
+            "--in_context_query_map_file", map_file,
+            "--in_context_example_frames_dir", str(frames_dir),
+            "--num_eval_datapoints", "2",
+            "--max_new_tokens", "4",
+            "--max_slots", "2",
+            "--max_len", "128",
+            "--chunk_tokens", "2",
+            "--prefill_bucket", "32",
+            "--vision_cache", "64",
             "--output_csv", out_csv,
         ]
     )

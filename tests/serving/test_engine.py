@@ -189,3 +189,42 @@ def test_engine_feature_cache_matches(world):
     for rid, completion in done.items():
         np.testing.assert_array_equal(completion.tokens, ref[rid], err_msg=str(rid))
     assert cache.misses == 1 and cache.hits == 2  # the shared video encoded once
+
+
+def test_engine_lazy_feature_loader_matches(world):
+    """Requests with NO pixel_values: the engine's feature_loader fetches
+    frames for cache misses only, outputs identical to the pixel path."""
+    from eilev_tpu.serving import VideoFeatureCache
+
+    cfg, model, variables, make_request = world
+    gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=1)
+    requests = [make_request(60 + seed, extra_text=seed % 3) for seed in range(3)]
+    ref = _reference_rows(model, variables, gen_cfg, requests)
+
+    frames = {f"v{i}": r.pixel_values[0] for i, r in enumerate(requests)}
+    loads: list[str] = []
+
+    def loader(key):
+        loads.append(key)
+        return frames[key]
+
+    cache = VideoFeatureCache(model, variables, bucket=2)
+    eng = ContinuousBatchingEngine(
+        model, variables, gen_cfg, max_slots=2, max_len=96,
+        chunk_tokens=3, prefill_bucket=16,
+        feature_cache=cache, feature_loader=loader,
+    )
+    lazy_requests = [
+        dataclasses.replace(r, pixel_values=None, feature_keys=[f"v{i}"])
+        for i, r in enumerate(requests)
+    ]
+    done = eng.run(lazy_requests)
+    assert sorted(done) == [0, 1, 2]
+    for rid, completion in done.items():
+        np.testing.assert_array_equal(completion.tokens, ref[rid], err_msg=str(rid))
+    assert loads == ["v0", "v1", "v2"]  # one host fetch per distinct video
+
+    with pytest.raises(ValueError, match="feature_loader requires feature_cache"):
+        ContinuousBatchingEngine(
+            model, variables, gen_cfg, feature_loader=loader
+        )

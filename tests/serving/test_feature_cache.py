@@ -169,7 +169,7 @@ def test_hits_in_call_dedup_and_eviction(world):
 def test_features_validation(world):
     cfg, model, variables, make_videos, _ = world
     cache = VideoFeatureCache(model, variables)
-    with pytest.raises(ValueError, match="pixel_values is required"):
+    with pytest.raises(ValueError, match="pixel_values or loader is required"):
         cache.features(["nope"])
     with pytest.raises(ValueError, match="videos for"):
         cache.features(["a", "b"], make_videos(1, 6))
@@ -177,3 +177,62 @@ def test_features_validation(world):
         VideoFeatureCache(model, variables, capacity=0)
     with pytest.raises(ValueError, match="bucket"):
         VideoFeatureCache(model, variables, bucket=0)
+
+
+def test_loader_fetches_only_misses(world):
+    """The lazy ``loader=`` path skips host frame IO for cache hits: only
+    missed keys are loaded, and the result is identical to the pixel path."""
+    cfg, model, variables, make_videos, _ = world
+    pixel = make_videos(4, 7)
+    videos = {f"v{i}": pixel[i] for i in range(4)}
+    loads: list[str] = []
+
+    def loader(key):
+        loads.append(key)
+        return videos[key]
+
+    cache = VideoFeatureCache(model, variables, bucket=2)
+    got = cache.features(list(videos), loader=loader)
+    want = _direct_features(model, variables, pixel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+    assert loads == list(videos)  # all four missed -> all four loaded
+
+    # warm call: nothing loaded, features bit-identical to the first call
+    loads.clear()
+    again = cache.features(list(videos), loader=loader)
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(got))
+    assert loads == []
+
+    # partial hit: only the new key is loaded
+    videos["v4"] = make_videos(1, 8)[0]
+    mixed = cache.features(["v1", "v4", "v2"], loader=loader)
+    assert loads == ["v4"]
+    assert mixed.shape[0] == 3 * cfg.num_query_tokens
+
+
+def test_loader_with_preprocess_matches_pixel_path(world):
+    """Raw uint8 frames through the per-bucket device preprocess produce the
+    same features as preprocessing the whole batch up front (the CLI's
+    non-cache path)."""
+    from eilev_tpu.ops.preprocess import process_videos
+
+    cfg, model, variables, make_videos, _ = world
+    img = cfg.vision_config.image_size
+    raw = np.random.default_rng(9).integers(
+        0, 256, size=(3, 3, 2, 2 * img, 2 * img), dtype=np.uint8
+    )
+    processed = process_videos(
+        jnp.asarray(raw), height=img, width=img, dtype=jnp.float32
+    )
+    want = _direct_features(model, variables, processed)
+
+    cache = VideoFeatureCache(
+        model,
+        variables,
+        bucket=2,
+        preprocess=lambda px: process_videos(
+            px, height=img, width=img, dtype=jnp.float32
+        ),
+    )
+    got = cache.features(["a", "b", "c"], loader=lambda k: raw["abc".index(k)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
