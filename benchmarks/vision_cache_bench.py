@@ -13,6 +13,12 @@ geometry (batch 4 datapoints = 68 videos, 32 new tokens, bf16):
   warm-ctx  — the 64 context videos hit a pre-warmed pool, only the 4 query
               videos encode (hit rate 64/68 = 94%)
 
+BENCH_INT8=1 adds the COMBINED serving profile: the same warm-context loop
+over the int8 weight-only LM (+ BENCH_INT8_KV / BENCH_INT8_VISION /
+BENCH_FAST_GELU, like bench.py) — the cache removes the vision tower from
+the steady state, so the int8 decode-stream savings stack on top of the
+4.3x instead of being diluted by the (bf16-bound) vision share.
+
 Usage: python benchmarks/vision_cache_bench.py  (BENCH_REPS=N to change reps)
 """
 
@@ -45,6 +51,10 @@ POOL = 256  # pre-warmed in-context example pool (capacity holds it whole)
 def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "3"))
     print("devices:", jax.devices())
+    if os.environ.get("BENCH_FAST_GELU", "0") == "1":
+        from eilev_tpu.ops.gelu import set_gelu_impl
+
+        set_gelu_impl("fast")
     cfg = configs.blip2_opt_2_7b()
     model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.bfloat16)
     v = BATCH * (SHOTS + 1)
@@ -130,6 +140,79 @@ def main() -> None:
         f"  ({BATCH/warm:.2f} datapoints/s)"
     )
     print(f"speedup over baseline: cold {base/cold:.2f}x, warm {base/warm:.2f}x")
+
+    if os.environ.get("BENCH_INT8", "0") != "1":
+        return
+
+    # -- combined serving profile: warm cache x int8 serving modes -----------
+    import dataclasses
+    import gc
+
+    from eilev_tpu.ops.quantization import quantize_lm_params, quantize_vision_params
+
+    int8_vision = os.environ.get("BENCH_INT8_VISION", "0") == "1"
+    qcfg = configs.replace(
+        cfg,
+        text_config=dataclasses.replace(
+            cfg.text_config,
+            quantize_matmuls=True,
+            int8_kv_cache=os.environ.get("BENCH_INT8_KV", "0") == "1",
+        ),
+    )
+    if int8_vision:
+        qcfg = configs.replace(
+            qcfg,
+            vision_config=dataclasses.replace(qcfg.vision_config, quantize_matmuls=True),
+        )
+    qmodel = VideoBlipForConditionalGeneration(qcfg, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def quantize(params):
+        p = dict(params)
+        p["language_model"] = quantize_lm_params(p["language_model"])
+        if int8_vision:
+            p["vision_model"] = quantize_vision_params(p["vision_model"])
+        return p
+
+    qvariables = {"params": quantize(variables["params"])}
+    jax.block_until_ready(qvariables)
+    # free the bf16 tree + its cached features before timing (HBM headroom)
+    del variables, cache
+    gc.collect()
+
+    @jax.jit
+    def decode_from_features_q(variables, feats):
+        embeds = qmodel.apply(
+            variables, ids_d, None, vim_d, method=VB.embed_and_scatter, video_features=feats
+        )
+        return _greedy_sample_decoder_only(qmodel, variables, embeds, mask_d, gen_cfg, rng)
+
+    qcache = VideoFeatureCache(qmodel, qvariables, capacity=POOL + 4096, bucket=4)
+    for s in range(0, POOL, v):
+        n = min(v, POOL - s)
+        qcache.features([f"pool{s + i}" for i in range(n)], pool_px[:n])
+
+    def warm_step_q():
+        keys = []
+        for b in range(BATCH):
+            keys += [f"pool{k}" for k in draw.integers(0, POOL, size=SHOTS)]
+            keys.append(f"q{counter[0]}_{b}")
+        counter[0] += 1
+        feats = qcache.features(keys, pixel_bf16(pixel_u8))
+        return np.asarray(decode_from_features_q(qvariables, feats))
+
+    h0, m0 = qcache.hits, qcache.misses
+    warm_q = timed(warm_step_q, reps)
+    hits, misses = qcache.hits - h0, qcache.misses - m0
+    rate = hits / max(hits + misses, 1)
+    modes = "int8-lm" + ("+int8-kv" if qcfg.text_config.int8_kv_cache else "") + (
+        "+w8a8-vision" if int8_vision else ""
+    ) + ("+fast-gelu" if os.environ.get("BENCH_FAST_GELU", "0") == "1" else "")
+    print(
+        f"warm + {modes} (hit {rate:.0%}): {warm_q:6.3f} s/batch  "
+        f"{v/warm_q:6.1f} videos/s  ({BATCH/warm_q:.2f} datapoints/s)"
+    )
+    print(f"combined speedup over bf16 baseline: {base/warm_q:.2f}x")
 
 
 if __name__ == "__main__":
