@@ -99,6 +99,15 @@ class OPTConfig:
     # cache stream via a Pallas kernel that dequantizes in VMEM. Serving-mode
     # only, like quantize_matmuls.
     int8_kv_cache: bool = False
+    # OPT-IN per-layer rematerialization of the no-cache (training) forward:
+    # store only layer-boundary activations and recompute layer internals in
+    # the backward pass. Gradients flow THROUGH the frozen LM to the scattered
+    # video features (train_state.py), so without remat every layer's
+    # attention/MLP intermediates are saved for backward — the memory wall
+    # that pins the reference to per-device micro-batch 1
+    # (/root/reference/README.md:152-153). Generation paths (cache != None)
+    # are unaffected.
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -166,6 +175,9 @@ class T5Config:
     pad_token_id: int = 0
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
+    # OPT-IN per-layer remat of the no-cache (training) forward; see
+    # OPTConfig.remat. Covers both the encoder and the decoder trunks.
+    remat: bool = False
 
     @property
     def inner_dim(self) -> int:

@@ -103,6 +103,7 @@ def load_model(
     int8_lm: bool = False,
     int8_kv: bool = False,
     int8_vision: bool = False,
+    remat: bool = False,
 ):
     """Load a save_pretrained dir -> (model module, {'params': ...}, config).
 
@@ -144,6 +145,15 @@ def load_model(
             vision_config=dataclasses.replace(
                 config.vision_config, quantize_matmuls=True
             ),
+        )
+    if remat:
+        import dataclasses
+
+        from ..configs import replace as cfg_replace
+
+        config = cfg_replace(
+            config,
+            text_config=dataclasses.replace(config.text_config, remat=True),
         )
     params = load_hf_checkpoint(path, config, dtype=param_dtype)
     if int8_lm:

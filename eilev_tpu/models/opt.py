@@ -522,6 +522,26 @@ class OPTForCausalLM(nn.Module):
         # stacked-buffer cache threading: each layer dynamic-update-slices its
         # row of the (L, B, S, H, hd) buffers in place (no slice+restack copy).
         # int8 caches additionally thread the per-(position, head) scale bufs.
+        if cache is None and cfg.remat:
+            # Per-layer remat for the training forward (configs.OPTConfig.remat):
+            # only the (B, S, H) layer boundaries are saved for backward; the
+            # attention scores / MLP intermediates inside each layer are
+            # recomputed. flax's lifted remat replays the dropout rng, so the
+            # step is numerically identical to the unremat'd one (guarded by
+            # tests/training/test_remat.py).
+            def _layer_body(layer, h, padding_mask):
+                out, _ = layer(
+                    h,
+                    {"causal": True, "padding_mask": padding_mask},
+                    deterministic=deterministic,
+                )
+                return out
+
+            remat_body = nn.remat(_layer_body)
+            for layer in self.layers:
+                x = remat_body(layer, x, attention_mask)
+            return self._head(x), None
+
         k_buf = cache["k"] if cache is not None else None
         v_buf = cache["v"] if cache is not None else None
         int8_cache = cache is not None and "k_scale" in cache

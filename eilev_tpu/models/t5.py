@@ -340,8 +340,22 @@ class T5Encoder(nn.Module):
         rel_bias = self.layers[0].self_attention.attention.compute_bias(s, s)[0]  # (H, S, S)
         attn = {"bias": rel_bias, "padding_mask": attention_mask}
         x = self.dropout(inputs_embeds, deterministic=deterministic)
-        for layer in self.layers:
-            x = layer(x, attn, deterministic=deterministic)
+        if self.config.remat:
+            # Per-layer remat for training (configs.T5Config.remat): see
+            # OPTForCausalLM.__call__; guarded by tests/training/test_remat.py.
+            def _layer_body(layer, h, bias, padding_mask):
+                return layer(
+                    h,
+                    {"bias": bias, "padding_mask": padding_mask},
+                    deterministic=deterministic,
+                )
+
+            remat_body = nn.remat(_layer_body)
+            for layer in self.layers:
+                x = remat_body(layer, x, rel_bias, attention_mask)
+        else:
+            for layer in self.layers:
+                x = layer(x, attn, deterministic=deterministic)
         return self.dropout(self.final_layer_norm(x), deterministic=deterministic)
 
 
@@ -378,7 +392,10 @@ class T5Decoder(nn.Module):
                 "padding_mask": decoder_attention_mask,
             }
             cache_index = None
-            cross = [layer.cross_attention.kv(encoder_hidden) for layer in self.layers]
+            if self.config.remat:
+                cross = None  # computed inside the remat body instead
+            else:
+                cross = [layer.cross_attention.kv(encoder_hidden) for layer in self.layers]
             new_cache = None
         else:
             index = cache["index"]
@@ -399,6 +416,32 @@ class T5Decoder(nn.Module):
             new_cache["index"] = index + s
 
         x = self.dropout(inputs_embeds, deterministic=deterministic)
+        if cache is None and self.config.remat:
+            # Per-layer remat for training; see OPTForCausalLM.__call__. The
+            # cross-attention K/V projections are (re)computed inside the body
+            # so only ``encoder_hidden`` itself is saved, not 2×L
+            # encoder-length projections.
+            def _layer_body(layer, h, bias, padding_mask, enc_hidden, enc_mask):
+                ck, cv = layer.cross_attention.kv(enc_hidden)
+                out, _ = layer(
+                    h,
+                    {"bias": bias, "causal": True, "padding_mask": padding_mask},
+                    ck,
+                    cv,
+                    enc_mask,
+                    deterministic=deterministic,
+                )
+                return out
+
+            remat_body = nn.remat(_layer_body)
+            for layer in self.layers:
+                x = remat_body(
+                    layer, x, self_attn["bias"], self_attn["padding_mask"],
+                    encoder_hidden, encoder_attention_mask,
+                )
+            x = self.dropout(self.final_layer_norm(x), deterministic=deterministic)
+            return x, None
+
         k_buf = cache["k"] if cache is not None else None
         v_buf = cache["v"] if cache is not None else None
         for i, layer in enumerate(self.layers):

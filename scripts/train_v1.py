@@ -38,6 +38,8 @@ def parse_args():
     p.add_argument("--max_length", type=int, default=64)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--num_train_steps", type=int, default=5000)
+    p.add_argument("--remat", action="store_true",
+                   help="per-layer remat of the frozen LM trunk (see train_v2.py)")
     p.add_argument("--per_device_train_batch_size", type=int, default=32)
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -66,7 +68,9 @@ def main() -> None:
     from eilev_tpu.training.trainer import Trainer, TrainerConfig
     from eilev_tpu.utils import WandbLogger
 
-    model, variables, config = load_model(args.model_name_or_path, version="v1", dtype=dtype)
+    model, variables, config = load_model(
+        args.model_name_or_path, version="v1", dtype=dtype, remat=args.remat
+    )
     tokenizer = load_tokenizer(args.model_name_or_path)
     mesh = make_mesh(data=args.data_parallel, model=1)
     micro = args.per_device_train_batch_size * mesh.shape["data"]

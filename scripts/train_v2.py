@@ -66,6 +66,12 @@ def parse_args():
                    help="ZeRO-2-equivalent: shard optimizer moments over the data axis")
     p.add_argument("--async_save", action="store_true",
                    help="overlap orbax checkpoint writes with training compute")
+    p.add_argument("--remat", action="store_true",
+                   help="per-layer rematerialization of the frozen LM trunk: "
+                        "store only layer-boundary activations, recompute the "
+                        "rest in backward — lifts the activation-memory wall "
+                        "that pins the reference to micro-batch 1, enabling "
+                        "--per_device_train_batch_size > 1")
     p.add_argument("--per_device_train_batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=16)
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -114,7 +120,9 @@ def main() -> None:
 
         initialize()
 
-    model, variables, config = load_model(args.model_name_or_path, dtype=dtype)
+    model, variables, config = load_model(
+        args.model_name_or_path, dtype=dtype, remat=args.remat
+    )
     tokenizer = load_tokenizer(args.model_name_or_path)
 
     if args.pipeline_parallel > 1:
