@@ -117,7 +117,7 @@ def run_variant(micro: int, remat: bool, seq: int, steps: int) -> dict:
         "s_per_step": round(s_per_step, 4),
         "datapoints_per_sec": round(micro / s_per_step, 3),
         "videos_per_sec": round(videos / s_per_step, 2),
-        "loss": float(metrics["loss"]),
+        "loss": loss,
         "peak_bytes": int(stats.get("peak_bytes_in_use", 0)),
     }
 
@@ -128,6 +128,8 @@ def main() -> None:
     variants = os.environ.get("TRAIN_BENCH_VARIANTS", "1,1r,2r,4r").split(",")
     for v in variants:
         v = v.strip()
+        if not v:
+            continue
         remat = v.endswith("r")
         micro = int(v[:-1] if remat else v)
         try:

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..configs import OPTConfig, T5Config, VideoBlipConfig
+from ..configs import LlamaConfig, OPTConfig, T5Config, VideoBlipConfig
 from ..models import opt as opt_mod
 from ..models.video_blip import VideoBlipForConditionalGeneration as VB
 from .config import GenerationConfig
@@ -207,10 +207,11 @@ def generate_stream(
     ``demo/app.py``); decoder-only LMs only, beam search cannot stream.
     """
     cfg: VideoBlipConfig = model.config
-    if not isinstance(cfg.text_config, OPTConfig) and not hasattr(
-        cfg.text_config, "rope_theta"
-    ):
-        raise NotImplementedError("generate_stream supports decoder-only LMs")
+    if not isinstance(cfg.text_config, (OPTConfig, LlamaConfig)):
+        raise NotImplementedError(
+            f"generate_stream supports decoder-only LMs (OPT, LLaMA), got "
+            f"{type(cfg.text_config).__name__}"
+        )
     if generation_config.num_beams > 1:
         raise NotImplementedError("beam search cannot stream; use generate()")
     gen_cfg = generation_config

@@ -340,9 +340,16 @@ class T5Encoder(nn.Module):
         rel_bias = self.layers[0].self_attention.attention.compute_bias(s, s)[0]  # (H, S, S)
         attn = {"bias": rel_bias, "padding_mask": attention_mask}
         x = self.dropout(inputs_embeds, deterministic=deterministic)
-        if self.config.remat:
+        if self.config.remat and not deterministic:
             # Per-layer remat for training (configs.T5Config.remat): see
             # OPTForCausalLM.__call__; guarded by tests/training/test_remat.py.
+            # Gated on ``not deterministic`` (the encoder has no cache to gate
+            # on, unlike OPT/T5Decoder): a remat-enabled config reused for
+            # generation would otherwise wrap the inference-time encoder
+            # prefill in nn.remat, whose prevent_cse=True inhibits XLA fusion.
+            # Trade-off: a remat T5 trained with dropout disabled skips remat
+            # too — the product recipe always trains with dropout
+            # (TrainerConfig.dropout=True, matching the reference HF Trainer).
             def _layer_body(layer, h, bias, padding_mask):
                 return layer(
                     h,

@@ -47,4 +47,18 @@ else
     echo "mypy not installed; skipped (runs in CI via .github/workflows/test.yaml)"
 fi
 
+echo "== isort =="
+if command -v isort >/dev/null 2>&1; then
+    isort --check-only --profile black eilev_tpu
+else
+    echo "isort not installed; skipped (runs in CI)"
+fi
+
+echo "== pyupgrade =="
+if command -v pyupgrade >/dev/null 2>&1; then
+    git ls-files 'eilev_tpu/**/*.py' | xargs pyupgrade --py310-plus
+else
+    echo "pyupgrade not installed; skipped (runs in CI)"
+fi
+
 echo "OK"

@@ -128,6 +128,14 @@ def main() -> None:
     if args.pipeline_parallel > 1:
         if args.model_parallel > 1:
             raise ValueError("--pipeline_parallel and --model_parallel are exclusive")
+        if args.remat:
+            # The PP trunk runs the LM layers outside flax via shard_map
+            # (training/pipeline_step.py) and never consults config.remat;
+            # per-microbatch staging is PP's own activation strategy.
+            raise ValueError(
+                "--remat has no effect under --pipeline_parallel (the pipeline "
+                "trunk manages activations per microbatch); drop --remat"
+            )
         from eilev_tpu.parallel.pipeline import make_pipeline_mesh
 
         data = args.data_parallel or len(jax.devices()) // args.pipeline_parallel
