@@ -67,6 +67,72 @@ def _select_token(logits: jax.Array, cfg: GenerationConfig, rng: Optional[jax.Ar
     return jax.random.categorical(rng, x, axis=-1).astype(jnp.int32)
 
 
+def _process_scores(
+    scores: jax.Array,
+    cfg: GenerationConfig,
+    history: jax.Array,
+    n_valid: jax.Array,
+    n_generated: jax.Array,
+) -> jax.Array:
+    """Fixed-shape HF logits processors, in HF's application order
+    (``GenerationMixin._get_logits_processor``): RepetitionPenalty ->
+    NoRepeatNGram -> MinNewTokensLength. Token-identical to the HF processors
+    (tests/generation/test_generate_parity.py).
+
+    ``scores``: (N, V) raw logits (greedy/sampling) or log-probs (beam - HF
+    applies processors after log_softmax there). ``history``: (N, L) the ids
+    HF would see as ``input_ids`` - generated tokens only for decoder-only
+    models driven via inputs_embeds, decoder_start + generated for seq2seq -
+    LEFT-aligned with exactly the first ``n_valid`` positions real.
+    ``n_generated`` counts truly generated tokens (excludes the seq2seq start
+    prefix), matching MinNewTokensLengthLogitsProcessor's prompt skip.
+    """
+    n, v = scores.shape
+    length = history.shape[1]
+    rows = jnp.arange(n)[:, None]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, length), 1)
+    valid = pos < n_valid
+
+    if cfg.repetition_penalty != 1.0:
+        # HF RepetitionPenaltyLogitsProcessor: gather -> scale -> scatter.
+        # A vocab-mask formulation sidesteps duplicate-index scatter order.
+        pen_mask = (
+            jnp.zeros((n, v), bool).at[rows, history].max(valid)
+        )
+        penalized = jnp.where(
+            scores < 0, scores * cfg.repetition_penalty, scores / cfg.repetition_penalty
+        )
+        scores = jnp.where(pen_mask, penalized, scores)
+
+    ngram = cfg.no_repeat_ngram_size
+    if ngram > 0 and length >= ngram:
+        # HF NoRepeatNGramLogitsProcessor: ban the completion of any history
+        # n-gram whose first n-1 tokens equal the last n-1 tokens emitted.
+        # No-op while cur_len + 1 < n (the HF gate).
+        enabled = (n_valid + 1) >= ngram
+        start = jnp.maximum(n_valid - (ngram - 1), 0)
+        last = jax.lax.dynamic_slice_in_dim(history, start, ngram - 1, axis=1)
+        nwin = length - ngram + 1
+        match = jnp.ones((n, nwin), bool)
+        for k in range(ngram - 1):
+            match = match & (history[:, k : k + nwin] == last[:, k : k + 1])
+        wpos = jax.lax.broadcasted_iota(jnp.int32, (n, nwin), 1)
+        wvalid = wpos <= n_valid - ngram  # full n-gram inside the valid history
+        banned_ids = history[:, ngram - 1 : ngram - 1 + nwin]
+        ban_mask = (
+            jnp.zeros((n, v), bool).at[rows, banned_ids].max(match & wvalid & enabled)
+        )
+        scores = jnp.where(ban_mask, -jnp.inf, scores)
+
+    if cfg.min_new_tokens > 0 and cfg.eos_token_id:
+        ban_eos = n_generated < cfg.min_new_tokens
+        for e in cfg.eos_token_id:
+            scores = scores.at[:, e].set(
+                jnp.where(ban_eos, -jnp.inf, scores[:, e])
+            )
+    return scores
+
+
 def _is_eos(tokens: jax.Array, cfg: GenerationConfig) -> jax.Array:
     if not cfg.eos_token_id:
         return jnp.zeros_like(tokens, dtype=bool)
@@ -119,6 +185,10 @@ def _greedy_sample_decoder_only(
     def body(carry):
         step, cache, logits, finished, out, cur_rng = carry
         cur_rng, step_rng = jax.random.split(cur_rng)
+        if gen_cfg.has_logits_processors:
+            # HF sees input_ids == generated tokens only (the inputs_embeds
+            # path starts generate with an empty (B, 0) input_ids)
+            logits = _process_scores(logits, gen_cfg, out, step, step)
         tok = _select_token(logits, gen_cfg, step_rng)
         tok = jnp.where(finished, gen_cfg.pad_token_id, tok)
         new_finished = finished | _is_eos(tok, gen_cfg)
@@ -214,6 +284,11 @@ def generate_stream(
         )
     if generation_config.num_beams > 1:
         raise NotImplementedError("beam search cannot stream; use generate()")
+    if generation_config.has_logits_processors:
+        raise NotImplementedError(
+            "repetition_penalty/no_repeat_ngram_size/min_new_tokens need the "
+            "full generated history per step; use generate()"
+        )
     gen_cfg = generation_config
     if gen_cfg.eos_token_id is None:
         gen_cfg = gen_cfg.with_eos(cfg.text_config.eos_token_id)
@@ -275,6 +350,7 @@ def _beam_engine(
     reorder_fn,
     gen_cfg: GenerationConfig,
     b: int,
+    prefix_ids: Optional[jax.Array] = None,
 ):
     """Shared on-device beam loop.
 
@@ -307,6 +383,19 @@ def _beam_engine(
         step, logprobs, cache, beam_scores, generated, hyp_scores, hyp_tokens, done = carry
         cur_len = (step + 1).astype(jnp.float32)
         vocab = logprobs.shape[-1]
+
+        if gen_cfg.has_logits_processors:
+            # HF applies processors to the log-softmaxed scores in beam search
+            # (GenerationMixin._beam_search), per beam, before adding the
+            # cumulative beam scores.
+            hist = generated.reshape(b * nb, max_new)
+            n_prefix = 0
+            if prefix_ids is not None:
+                hist = jnp.concatenate([prefix_ids, hist], axis=1)
+                n_prefix = prefix_ids.shape[1]
+            logprobs = _process_scores(
+                logprobs, gen_cfg, hist, step + n_prefix, step
+            )
 
         flat = (logprobs.reshape(b, nb, vocab) + beam_scores[:, :, None]).reshape(b, nb * vocab)
         top_scores, top_idx = jax.lax.top_k(flat, 2 * nb)  # ties: lowest index first, like torch
@@ -551,7 +640,7 @@ def _beam_search_seq2seq_device(
     start_tok = jnp.full((b * nb,), tcfg.decoder_start_token_id, jnp.int32)
     logprobs0, cache = step_fn(start_tok, cache)
     return _beam_engine(logprobs0, cache0=cache, step_fn=step_fn, reorder_fn=reorder_fn,
-                        gen_cfg=gen_cfg, b=b)
+                        gen_cfg=gen_cfg, b=b, prefix_ids=start_tok[:, None])
 
 
 def _beam_search_seq2seq(
@@ -606,7 +695,13 @@ def _greedy_sample_seq2seq(
     def body(carry):
         step, cache, logits, finished, out, cur_rng = carry
         cur_rng, step_rng = jax.random.split(cur_rng)
-        tok = _select_token(logits[:, -1], gen_cfg, step_rng)
+        step_scores = logits[:, -1]
+        if gen_cfg.has_logits_processors:
+            # HF's seq2seq input_ids start with decoder_start_token_id, so the
+            # processors see [start] + generated
+            hist = jnp.concatenate([start, out], axis=1)
+            step_scores = _process_scores(step_scores, gen_cfg, hist, step + 1, step)
+        tok = _select_token(step_scores, gen_cfg, step_rng)
         tok = jnp.where(finished, gen_cfg.pad_token_id, tok)
         new_finished = finished | _is_eos(tok, gen_cfg)
         out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, step))
@@ -710,6 +805,12 @@ def generate(
         if gen_cfg.num_beams > 1:
             return _beam_search_decoder_only(model, variables, inputs_embeds, attention_mask, gen_cfg)
         if draft_layers and not gen_cfg.do_sample:
+            if gen_cfg.has_logits_processors:
+                raise NotImplementedError(
+                    "speculative decoding implements plain greedy; drop "
+                    "draft_layers to use repetition_penalty/no_repeat_ngram_size/"
+                    "min_new_tokens"
+                )
             from ..models.opt import OPTForCausalLM
             from .speculative import make_self_draft, speculative_greedy_decode
 

@@ -133,7 +133,13 @@ class TextLM:
     ) -> list[str]:
         """``draft_layers > 0``: token-identical speculative greedy decoding
         with the target's first N layers self-drafting ``draft_tokens`` per
-        verify pass (generation/speculative.py; OPT and LLaMA)."""
+        verify pass (generation/speculative.py; OPT and LLaMA).
+
+        Note: repetition_penalty/no_repeat_ngram_size see the GENERATED tokens
+        only (the shared decode loops drive the LM via inputs_embeds, where HF
+        starts from an empty input_ids); an HF text LM driven via input_ids
+        would additionally penalize prompt tokens.
+        """
         import numpy as np
 
         from ..data.collate import _pad_1d
@@ -157,6 +163,12 @@ class TextLM:
                 self.module, self.variables, embeds, jnp.asarray(mask), gen_cfg
             )
         elif draft_layers and not gen_cfg.do_sample:
+            if gen_cfg.has_logits_processors:
+                raise NotImplementedError(
+                    "speculative decoding implements plain greedy; drop "
+                    "draft_layers to use repetition_penalty/"
+                    "no_repeat_ngram_size/min_new_tokens"
+                )
             from ..configs import OPTConfig as _OPTConfig
             from ..models.llama import LlamaForCausalLM
             from ..models.opt import OPTForCausalLM

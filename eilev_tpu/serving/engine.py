@@ -163,6 +163,12 @@ class ContinuousBatchingEngine:
             model.config.text_config, "num_key_value_heads"
         ):
             raise ValueError("continuous batching supports decoder-only LMs")
+        if generation_config.has_logits_processors:
+            raise NotImplementedError(
+                "the serving engine's chunked decode does not implement "
+                "repetition_penalty/no_repeat_ngram_size/min_new_tokens; "
+                "use generate() for those knobs"
+            )
         if generation_config.max_new_tokens + prefill_bucket > max_len:
             raise ValueError(
                 f"max_len={max_len} cannot hold one prompt bucket "

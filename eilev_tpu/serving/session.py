@@ -127,6 +127,11 @@ class ChatSession:
             raise ValueError("ChatSession supports decoder-only (OPT-family) LMs")
         if generation_config.num_beams > 1 or generation_config.do_sample:
             raise ValueError("ChatSession is greedy-only (beam/sampling re-prefill)")
+        if generation_config.has_logits_processors:
+            raise NotImplementedError(
+                "ChatSession's incremental decode does not implement "
+                "repetition_penalty/no_repeat_ngram_size/min_new_tokens"
+            )
         gen_cfg = generation_config
         if gen_cfg.eos_token_id is None:
             gen_cfg = gen_cfg.with_eos(model.config.text_config.eos_token_id)

@@ -95,7 +95,7 @@ def main() -> None:
     from eilev_tpu.data.frame import FrameInterleavedPresampledDataset
     from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
     from eilev_tpu.data.text import clean_narration_text, generate_chunks
-    from eilev_tpu.generation import GenerationConfig, generate
+    from eilev_tpu.generation import generate, generation_config_from_json
     from eilev_tpu.models.auto import load_model, load_tokenizer
     from eilev_tpu.ops.preprocess import process_videos
     from eilev_tpu.utils import WandbLogger
@@ -203,17 +203,14 @@ def main() -> None:
         pad_token_id=tokenizer.pad_token_id, padding_side="left"
     )
 
-    gen_json = json.loads(args.generation_config)
-    gen_cfg = GenerationConfig(
-        max_new_tokens=gen_json.get("max_new_tokens", 512),
-        num_beams=gen_json.get("num_beams", 1),
-        do_sample=gen_json.get("do_sample", False),
-        temperature=gen_json.get("temperature", 1.0),
-        top_k=gen_json.get("top_k", 50),
-        top_p=gen_json.get("top_p", 1.0),
-        length_penalty=gen_json.get("length_penalty", 1.0),
+    # Accept the reference CLI's HF GenerationConfig JSON contract (reference
+    # scripts/general/generate_narration_texts.py:203 forwards it verbatim to
+    # HF generate); unsupported keys fail with the supported-key list.
+    gen_cfg = generation_config_from_json(
+        json.loads(args.generation_config),
         pad_token_id=tokenizer.pad_token_id,
-    ).with_eos(gen_json.get("eos_token_id"))
+        default_max_new_tokens=512,
+    )
 
     logger = WandbLogger(project=args.wandb_project, enabled=args.wandb_project is not None)
     rows = []
