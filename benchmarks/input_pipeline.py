@@ -29,9 +29,10 @@ FRAME_SIZE = 448  # extract_frames.py writes 2x image_size for crop headroom
 FRAMES_PER_CLIP = 8
 
 
-def make_frames_tree(root: Path, clips: int) -> None:
-    import imageio.v3 as iio
+def make_frames_tree(root: Path, clips: int, fmt: str = "png") -> None:
     import numpy as np
+
+    from eilev_tpu.data.frame import save_frame_video
 
     verbs = ["take", "cut", "wash", "stir", "open", "close"]
     nouns = ["knife", "spoon", "onion", "pot", "door", "jar"]
@@ -39,11 +40,10 @@ def make_frames_tree(root: Path, clips: int) -> None:
     rows = []
     for i in range(clips):
         fp = f"vid{i}|0"
-        d = root / fp
-        d.mkdir(parents=True)
-        for t in range(FRAMES_PER_CLIP):
-            img = rng.integers(0, 256, (FRAME_SIZE, FRAME_SIZE, 3), np.uint8)
-            iio.imwrite(d / f"{fp}|{t}.png", img, extension=".png")
+        clip = rng.integers(
+            0, 256, (3, FRAMES_PER_CLIP, FRAME_SIZE, FRAME_SIZE), np.uint8
+        )
+        save_frame_video(root, fp, clip, fmt=fmt)
         rows.append({
             "frame_path": fp, "video_uid": f"vid{i}", "clip_index": "0",
             "narration_timestamp_sec": "4.0",
@@ -63,26 +63,38 @@ def main() -> None:
     p.add_argument("--shots", type=int, default=16)
     p.add_argument("--datapoints", type=int, default=8)
     p.add_argument("--workers", type=int, nargs="+", default=[0, 2, 4, 8])
+    p.add_argument(
+        "--format", choices=("png", "raw"), nargs="+", default=["png", "raw"],
+        help="on-disk frame cache format(s) to measure (raw = zero-decode "
+        ".npy clips from extract_frames.py --format raw)",
+    )
     args = p.parse_args()
+
+    # the host stage is tokenizer-agnostic (frame IO dominates); the mock
+    # tokenizer keeps this hermetic under zero egress
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+    print(f"host cores: {os.cpu_count()} (absolute numbers scale with cores; "
+          "on a 1-vCPU dev host gains come only from IO-wait overlap)")
+    videos_per = args.shots + 1
+    for fmt in args.format:
+        tmp = Path(tempfile.mkdtemp())
+        print(f"[{fmt}] writing {args.clips} clips x {FRAMES_PER_CLIP} "
+              f"{FRAME_SIZE}^2 frames ...")
+        make_frames_tree(tmp, args.clips, fmt=fmt)
+        run_format(args, tmp, fmt, videos_per)
+
+
+def run_format(args, tmp: Path, fmt: str, videos_per: int) -> None:
+    import random
 
     from eilev_tpu.data.frame import FrameInterleavedDataset
     from eilev_tpu.training.data_module import (
         InterleavedPreprocessor,
         _ordered_parallel,
     )
-
-    # the host stage is tokenizer-agnostic (PNG IO dominates); the mock keeps
-    # this hermetic under zero egress
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     from tests.data.mock_tokenizer import MockTokenizer
 
-    tmp = Path(tempfile.mkdtemp())
-    print(f"host cores: {os.cpu_count()} (absolute numbers scale with cores; "
-          "on a 1-vCPU dev host gains come only from IO-wait overlap)")
-    print(f"writing {args.clips} clips x {FRAMES_PER_CLIP} {FRAME_SIZE}^2 PNGs ...")
-    make_frames_tree(tmp, args.clips)
-
-    videos_per = args.shots + 1
     for workers in args.workers:
         # time the HOST stage the workers parallelize: frame IO + prompt
         # assembly + tokenize (device preprocess/augment runs on-chip in
@@ -113,7 +125,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         dps = n / dt
         print(
-            f"workers={workers}: {dps:6.2f} datapoints/s = "
+            f"[{fmt}] workers={workers}: {dps:6.2f} datapoints/s = "
             f"{dps * videos_per:7.1f} videos/s "
             f"({dps * videos_per * FRAMES_PER_CLIP:7.0f} frames/s)"
         )

@@ -56,50 +56,67 @@ def main():
     )
 
     s = ids.shape[1]
-    cache_len = s + 64
+    cache_len = s + 2 * STEPS + GAMMA + 2
 
     def loop_steps(mdl, prm, n_tokens_per_pass):
-        """STEPS iterations of an n-token cache-append pass, one jit."""
+        """Prefill-subtracted per-pass cost.
 
-        @jax.jit
-        def run(prm, embeds0, mask0):
-            cache = opt_mod.init_cache(mdl.config, batch, cache_len, jnp.bfloat16)
-            logits, cache = mdl.apply(
-                {"params": prm}, embeds0, attention_mask=mask0, cache=cache
-            )
-            tok0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        ROUND-4 MEASUREMENT CORRECTION: the round-3 version timed one program
+        of [prefill + STEPS passes] and divided by STEPS, silently spreading
+        the ~0.14 s prefill over the steps (+4.4 ms/step at batch 4 — the
+        exact t_step=14.67 vs ~10.0 ms discrepancy PERF.md flagged). Now the
+        same program is timed at STEPS and 2*STEPS and differenced, which
+        cancels the prefill exactly: per-pass = (t_2N - t_N) / N.
+        """
 
-            def body(t, carry):
-                tok, cache, acc = carry
-                block = jnp.broadcast_to(tok[:, None], (batch, n_tokens_per_pass))
-                embeds = mdl.apply({"params": prm}, block, method=OPTForCausalLM.embed)
+        def make_run(n_steps):
+            @jax.jit
+            def run(prm, embeds0, mask0):
+                cache = opt_mod.init_cache(mdl.config, batch, cache_len, jnp.bfloat16)
                 logits, cache = mdl.apply(
-                    {"params": prm}, embeds,
-                    attention_mask=jnp.ones((batch, n_tokens_per_pass), jnp.int32),
-                    cache=cache,
-                    cache_append=n_tokens_per_pass > 1,
+                    {"params": prm}, embeds0, attention_mask=mask0, cache=cache
                 )
-                # roll back so the cache never overflows across STEPS iters
-                cache = dict(cache)
-                cache["index"] = cache["index"] - (n_tokens_per_pass - 1)
-                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
-                return nxt, cache, acc + jnp.sum(logits[:, -1, 0].astype(jnp.float32))
+                tok0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
 
-            _, _, acc = jax.lax.fori_loop(0, STEPS, body, (tok0, cache, 0.0))
-            return acc
+                def body(t, carry):
+                    tok, cache, acc = carry
+                    block = jnp.broadcast_to(tok[:, None], (batch, n_tokens_per_pass))
+                    embeds = mdl.apply({"params": prm}, block, method=OPTForCausalLM.embed)
+                    logits, cache = mdl.apply(
+                        {"params": prm}, embeds,
+                        attention_mask=jnp.ones((batch, n_tokens_per_pass), jnp.int32),
+                        cache=cache,
+                        cache_append=n_tokens_per_pass > 1,
+                    )
+                    # roll back so the cache never overflows across iterations
+                    cache = dict(cache)
+                    cache["index"] = cache["index"] - (n_tokens_per_pass - 1)
+                    nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                    return nxt, cache, acc + jnp.sum(logits[:, -1, 0].astype(jnp.float32))
+
+                _, _, acc = jax.lax.fori_loop(0, n_steps, body, (tok0, cache, 0.0))
+                return acc
+
+            return run
 
         embeds0 = jax.jit(
             lambda p: mdl.apply({"params": p}, jnp.asarray(ids, jnp.int32),
                                 method=OPTForCausalLM.embed)
         )(prm)
         mask0 = jnp.asarray(mask, jnp.int32)
-        float(run(prm, embeds0, mask0))
-        ts = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            float(run(prm, embeds0, mask0))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)) / STEPS
+
+        def timed(run):
+            float(run(prm, embeds0, mask0))  # compile + warmup
+            ts = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                float(run(prm, embeds0, mask0))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        t_n = timed(make_run(STEPS))
+        t_2n = timed(make_run(2 * STEPS))
+        return (t_2n - t_n) / STEPS
 
     t_step = loop_steps(target, lm_params, 1)
     print(json.dumps({"ingredient": "t_step (full model, 1 token)",

@@ -38,8 +38,26 @@ import numpy as np
 
 
 def load_frame_video(frames_dir: Path) -> np.ndarray:
-    """Load a clip's frame directory into (C, T, H, W) uint8, frames sorted by
-    their trailing index (``{frame_path}|{i}.png``)."""
+    """Load a clip's frame directory into (C, T, H, W) uint8.
+
+    Two on-disk formats (same directory/CSV contract either way):
+      - raw: one ``{frame_path}.npy`` holding the whole clip as (C, T, H, W)
+        uint8, written by ``extract_frames.py --format raw``. Preferred when
+        present: loading is a straight read with ZERO decode work — PNG
+        decode is the measured host input bottleneck (~0.25-0.8 datapoints/s
+        per core serial, docs/PERF.md), and the raw cache removes it rather
+        than hiding it behind worker threads.
+      - png: per-frame ``{frame_path}|{i}.png`` files (the reference's format,
+        ``scripts/ego4d/extract_frames.py:33-46``), sorted by trailing index.
+    """
+    raw = frames_dir / f"{frames_dir.name}.npy"
+    if raw.exists():
+        video = np.load(raw)
+        if video.dtype != np.uint8 or video.ndim != 4:
+            raise ValueError(f"{raw}: expected 4D uint8 (C, T, H, W), got "
+                             f"{video.dtype} {video.shape}")
+        return video
+
     import imageio.v3 as iio
 
     files = sorted(
@@ -50,6 +68,44 @@ def load_frame_video(frames_dir: Path) -> np.ndarray:
         raise FileNotFoundError(f"no frames under {frames_dir}")
     frames = np.stack([iio.imread(f) for f in files])  # (T, H, W, C)
     return np.ascontiguousarray(frames.transpose(3, 0, 1, 2))
+
+
+def save_frame_video(
+    frames_dir: Path,
+    frame_path: str,
+    video_u8: np.ndarray,
+    fmt: str = "png",
+    pool=None,
+) -> None:
+    """Write one clip's (C, T, H, W) uint8 frames under
+    ``{frames_dir}/{frame_path}`` in either on-disk format (see
+    :func:`load_frame_video`). ``pool``: optional executor for parallel
+    per-frame PNG encodes (raw format is a single write; PNG encode is the
+    expensive path). Round-trips bit-identically in both formats
+    (tests/data/test_raw_frame_cache.py)."""
+    clip_dir = Path(frames_dir) / frame_path
+    clip_dir.mkdir(parents=True, exist_ok=True)
+    if fmt == "raw":
+        np.save(clip_dir / f"{frame_path}.npy", np.ascontiguousarray(video_u8))
+        return
+    if fmt != "png":
+        raise ValueError(f"unknown frame format {fmt!r}; supported: png, raw")
+    import imageio.v3 as iio
+
+    thwc = video_u8.transpose(1, 2, 3, 0)
+    jobs = [
+        (clip_dir / f"{frame_path}|{i}.png", frame) for i, frame in enumerate(thwc)
+    ]
+    if pool is None:
+        for path, frame in jobs:
+            iio.imwrite(path, frame, extension=".png")
+    else:
+        futures = [
+            pool.submit(iio.imwrite, path, frame, extension=".png")
+            for path, frame in jobs
+        ]
+        for f in futures:
+            f.result()
 
 
 class FrameDataset:

@@ -1,7 +1,12 @@
 from .classify import classify
 from .config import GenerationConfig, generation_config_from_json
 from .decoding import generate, generate_stream
-from .speculative import make_self_draft, speculative_greedy_decode
+from .speculative import (
+    build_lookup_corpus,
+    make_self_draft,
+    prompt_lookup_greedy_decode,
+    speculative_greedy_decode,
+)
 
 __all__ = [
     "GenerationConfig",
@@ -9,6 +14,8 @@ __all__ = [
     "classify",
     "generate",
     "generate_stream",
+    "build_lookup_corpus",
     "make_self_draft",
+    "prompt_lookup_greedy_decode",
     "speculative_greedy_decode",
 ]

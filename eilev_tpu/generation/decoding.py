@@ -734,6 +734,9 @@ def generate(
     vision_chunks: int = 1,
     draft_layers: Optional[int] = None,
     draft_tokens: int = 4,
+    draft: Optional[str] = None,
+    draft_match_len: int = 3,
+    lookup_corpus: Optional[jax.Array] = None,
     video_features: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Drop-in equivalent of reference ``VideoBlipForConditionalGeneration.generate``
@@ -746,6 +749,15 @@ def generate(
     ``draft_layers=k`` (decoder-only greedy) switches to speculative decoding
     with the target's first k layers self-drafting ``draft_tokens`` tokens per
     verify pass — TOKEN-IDENTICAL output (generation/speculative.py).
+
+    ``draft="prompt_lookup"`` (decoder-only greedy) switches to MODEL-FREE
+    speculative decoding: each iteration proposes the ``draft_tokens`` tokens
+    that followed the most recent occurrence of the emitted tail n-gram
+    (``draft_match_len`` down to 1) in the prompt + generated text — also
+    TOKEN-IDENTICAL; the draft costs no model forward at all
+    (generation/speculative.py:prompt_lookup_greedy_decode).
+    ``lookup_corpus`` overrides the match corpus (default: ``input_ids`` with
+    padding/video positions masked via :func:`build_lookup_corpus`).
 
     ``video_features`` accepts precomputed ``encode_videos`` output
     ((num_videos * num_query_tokens, text_hidden)) and skips the vision tower —
@@ -801,9 +813,32 @@ def generate(
         )
         attention_mask = jnp.concatenate([prefix, attention_mask], axis=1)
 
+    if draft is not None and draft != "prompt_lookup":
+        raise ValueError(f"unknown draft strategy {draft!r}; supported: 'prompt_lookup'")
     if isinstance(cfg.text_config, OPTConfig):
         if gen_cfg.num_beams > 1:
             return _beam_search_decoder_only(model, variables, inputs_embeds, attention_mask, gen_cfg)
+        if draft == "prompt_lookup" and not gen_cfg.do_sample:
+            if gen_cfg.has_logits_processors:
+                raise NotImplementedError(
+                    "speculative decoding implements plain greedy; drop "
+                    "draft='prompt_lookup' to use repetition_penalty/"
+                    "no_repeat_ngram_size/min_new_tokens"
+                )
+            from ..models.opt import OPTForCausalLM
+            from .speculative import build_lookup_corpus, prompt_lookup_greedy_decode
+
+            if lookup_corpus is None:
+                lookup_corpus = build_lookup_corpus(
+                    input_ids, attention_mask[:, -input_ids.shape[1]:], video_input_mask
+                )
+            lm_params = variables["params"]["language_model"]
+            target_lm = OPTForCausalLM(cfg.text_config, dtype=model.dtype)
+            return prompt_lookup_greedy_decode(
+                target_lm, lm_params, jnp.asarray(lookup_corpus, jnp.int32),
+                inputs_embeds, attention_mask, gen_cfg,
+                gamma=draft_tokens, match_len=draft_match_len,
+            )
         if draft_layers and not gen_cfg.do_sample:
             if gen_cfg.has_logits_processors:
                 raise NotImplementedError(

@@ -203,3 +203,194 @@ def speculative_greedy_decode(
     carry = (jnp.ones((), jnp.int32), t_cache, d_cache, pending, fin0, out0)
     _, _, _, _, _, out = jax.lax.while_loop(cond, body, carry)
     return out[:, :max_new]
+
+
+# ---------------------------------------------------------------------------
+# prompt-lookup drafting (model-free)
+# ---------------------------------------------------------------------------
+
+
+def build_lookup_corpus(
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    video_input_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Prompt-side lookup corpus: input ids with padding and video-feature
+    placeholder positions masked to -1 (never equal to a real token, so no
+    spurious n-gram matches against the num_query_tokens pad runs the
+    interleaved prompt builder emits per video - reference
+    ``eilev/data/utils.py:173-178``)."""
+    corpus = jnp.asarray(input_ids, jnp.int32)
+    keep = jnp.ones_like(corpus, dtype=bool)
+    if attention_mask is not None:
+        keep = keep & (jnp.asarray(attention_mask) > 0)
+    if video_input_mask is not None:
+        keep = keep & (jnp.asarray(video_input_mask) == 0)
+    return jnp.where(keep, corpus, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gen_cfg", "gamma", "match_len", "return_stats"),
+)
+def prompt_lookup_greedy_decode(
+    model: OPTForCausalLM,
+    lm_params: dict,
+    prompt_corpus: jax.Array,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    gen_cfg: GenerationConfig,
+    gamma: int = 8,
+    match_len: int = 3,
+    return_stats: bool = False,
+) -> jax.Array:
+    """Token-identical greedy decode with MODEL-FREE prompt-lookup drafting.
+
+    Instead of a draft model, each iteration proposes the ``gamma`` tokens
+    that followed the most recent occurrence of the current n-gram tail
+    (down to 1-gram) in [prompt corpus + generated so far] — near-zero draft
+    cost, so the per-iteration cost is one multi-token verify pass (~the
+    single-step weight stream). The 16-shot narration workload is maximally
+    favorable: generated narrations echo the in-context example narrations
+    (reference sampling by shared verb/noun, ``eilev/data/frame.py:179-266``),
+    so matched continuations are long. Verification recomputes the target's
+    own argmax at every position, so output == plain greedy regardless of
+    draft quality (tests/generation/test_prompt_lookup.py).
+
+    ``prompt_corpus``: (B, S) from :func:`build_lookup_corpus` (invalid
+    positions -1). Same batched-min-advance semantics as
+    :func:`speculative_greedy_decode`.
+
+    ``return_stats=True`` additionally returns (tokens_emitted, verify_passes)
+    scalars — tokens/pass is the realized speculative advance (1.0 = no
+    acceptance, gamma+1 = full acceptance).
+    """
+    assert not gen_cfg.do_sample, "prompt-lookup path implements greedy only"
+    b, s, _ = inputs_embeds.shape
+    max_new = gen_cfg.max_new_tokens
+    pad = gen_cfg.pad_token_id
+    eos = tuple(gen_cfg.eos_token_id or ())
+    out_len = max_new + gamma + 2
+    cache_len = s + max_new + gamma + 2
+    # the corpus may be WIDER than the prompt (callers can append extra
+    # reference text, e.g. the vision-cache eval passes example narrations)
+    p_len = prompt_corpus.shape[1]
+    corpus_len = p_len + out_len
+
+    def eos_hit(t):
+        hit = jnp.zeros(t.shape, bool)
+        for e in eos:
+            hit = hit | (t == e)
+        return hit
+
+    t_cache = opt_mod.init_cache(model.config, b, cache_len, dtype=inputs_embeds.dtype)
+    t_logits, t_cache = model.apply(
+        {"params": lm_params}, inputs_embeds, attention_mask=attention_mask,
+        cache=t_cache,
+    )
+    pending = jnp.argmax(t_logits[:, -1], -1).astype(jnp.int32)
+
+    out0 = jnp.full((b, out_len), pad, jnp.int32)
+    finished0 = jnp.zeros((b,), bool)
+    pending = jnp.where(finished0, pad, pending)
+    fin0 = finished0 | eos_hit(pending)
+    out0 = out0.at[:, 0].set(pending)
+
+    def embed(tok):
+        return model.apply({"params": lm_params}, tok, method=type(model).embed)
+
+    def lookup_drafts(out, n_emitted):
+        """(B, gamma) proposed continuations of the emitted tail."""
+        corpus = jnp.concatenate([prompt_corpus, out], axis=1)  # (B, corpus_len)
+        end = p_len + n_emitted  # first invalid position (same for every row)
+        found = jnp.zeros((b,), bool)
+        start = jnp.zeros((b,), jnp.int32)
+        # try the longest tail first (HF prompt-lookup semantics: descending
+        # n-gram size, first size with a match wins; we take the MOST RECENT
+        # occurrence at that size)
+        for k in range(match_len, 0, -1):
+            tail = jax.lax.dynamic_slice(corpus, (0, end - k), (b, k))  # (B, k)
+            nwin = corpus_len - k
+            match = jnp.ones((b, nwin), bool)
+            for j in range(k):
+                match = match & (corpus[:, j : j + nwin] == tail[:, j : j + 1])
+            widx = jax.lax.broadcasted_iota(jnp.int32, (b, nwin), 1)
+            # window [i, i+k) must sit fully inside the emitted region AND
+            # have at least one valid continuation token (i + k < end); this
+            # also excludes the trivial self-match of the tail with itself
+            ok = match & (widx + k < end)
+            has_k = jnp.any(ok, axis=1)
+            best_k = jnp.max(jnp.where(ok, widx, -1), axis=1)  # most recent
+            take = has_k & ~found
+            start = jnp.where(take, best_k + k, start)
+            found = found | has_k
+        drafts = jax.vmap(
+            lambda row, st: jax.lax.dynamic_slice_in_dim(row, st, gamma)
+        )(corpus, start)
+        # no match, or -1 (masked) positions inside the gathered window:
+        # propose pad — never accepted unless the target truly emits pad
+        drafts = jnp.where(found[:, None] & (drafts >= 0), drafts, pad)
+        return drafts
+
+    def cond(carry):
+        n_emitted, _, _, finished, _ = carry
+        return jnp.logical_and(n_emitted < max_new, ~jnp.all(finished))
+
+    def body(carry, iters):
+        n_emitted, t_cache, pending, finished, out = carry
+        drafts = lookup_drafts(out, n_emitted)  # (B, gamma)
+
+        # ---- verify: one target pass over [pending, d_1..d_gamma] ----
+        block = jnp.concatenate([pending[:, None], drafts], axis=1)
+        v_logits, t_cache = model.apply(
+            {"params": lm_params},
+            embed(block),
+            attention_mask=jnp.ones((b, gamma + 1), jnp.int32),
+            cache=t_cache,
+            cache_append=True,
+        )
+        targets = jnp.argmax(v_logits, -1).astype(jnp.int32)  # (B, gamma+1)
+        agree = drafts == targets[:, :gamma]
+        a_row = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)
+        amin = jnp.min(jnp.where(finished, gamma, a_row))
+
+        # ---- emissions: d_1..d_amin then y_{amin+1} (see
+        # speculative_greedy_decode for the uniform-across-rows argument) ----
+        correction = jax.lax.dynamic_index_in_dim(targets, amin, 1, keepdims=False)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, gamma + 1), 1)
+        emit0 = jnp.concatenate([drafts, jnp.full((b, 1), pad, jnp.int32)], axis=1)
+        emit = jnp.where(
+            col < amin, emit0, jnp.where(col == amin, correction[:, None], pad)
+        )
+        emit = jnp.where(finished[:, None], pad, emit)
+        hits = eos_hit(emit) & (col <= amin)
+        first_eos = jnp.min(jnp.where(hits, col, gamma + 1), axis=1)
+        emit = jnp.where(col > first_eos[:, None], pad, emit)
+        new_finished = finished | (first_eos <= gamma)
+
+        out = jax.lax.dynamic_update_slice(out, emit, (0, n_emitted))
+
+        # ---- roll the target cache back to the accepted prefix ----
+        new_index = t_cache["index"] - (gamma + 1) + (amin + 1)
+        t_cache = dict(t_cache)
+        max_len = t_cache["mask"].shape[1]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+        t_cache["mask"] = jnp.where(slot < new_index, t_cache["mask"], 0)
+        t_cache["pos"] = t_cache["pos"] - (t_cache["index"] - new_index)
+        t_cache["index"] = new_index
+
+        new_pending = jnp.where(new_finished, pad, correction)
+        return (n_emitted + amin + 1, t_cache, new_pending, new_finished, out, iters + 1)
+
+    def cond_w(carry):
+        return cond(carry[:5])
+
+    def body_w(carry):
+        *inner, iters = carry
+        return body(tuple(inner), iters)
+
+    carry = (jnp.ones((), jnp.int32), t_cache, pending, fin0, out0, jnp.zeros((), jnp.int32))
+    n_emitted, _, _, _, out, iters = jax.lax.while_loop(cond_w, body_w, carry)
+    if return_stats:
+        return out[:, :max_new], (jnp.minimum(n_emitted, max_new), iters)
+    return out[:, :max_new]

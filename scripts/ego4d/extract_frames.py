@@ -46,14 +46,23 @@ def parse_args():
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--max_num_narrated_actions", type=int, default=0)
     p.add_argument("--csv_only", action="store_true")
+    p.add_argument(
+        "--format",
+        choices=("png", "raw"),
+        default="png",
+        help="png: per-frame PNGs (the reference's format). raw: one "
+        "memmap-able uint8 .npy per clip - zero decode work at load time "
+        "(PNG decode is the measured host input bottleneck, docs/PERF.md); "
+        "~3.5x larger on disk. Same directory + CSV contract either way.",
+    )
     return p.parse_args()
 
 
 def main() -> None:
     args = parse_args()
-    import imageio.v3 as iio
     import jax.numpy as jnp
 
+    from eilev_tpu.data.frame import save_frame_video
     from eilev_tpu.data.video_datasets import Ego4dFHOMainDataset
     from eilev_tpu.ops.preprocess import resize_video
 
@@ -69,21 +78,7 @@ def main() -> None:
     pool = ThreadPoolExecutor(args.num_workers)
 
     def write_frames(video_u8: np.ndarray, frame_path: str) -> None:
-        frames_dir = os.path.join(args.frames_dir, frame_path)
-        os.makedirs(frames_dir, exist_ok=True)
-        # (C, T, H, W) -> per-frame HWC PNGs
-        thwc = video_u8.transpose(1, 2, 3, 0)
-        futures = [
-            pool.submit(
-                iio.imwrite,
-                os.path.join(frames_dir, f"{frame_path}|{i}.png"),
-                frame,
-                extension=".png",
-            )
-            for i, frame in enumerate(thwc)
-        ]
-        for f in futures:
-            f.result()
+        save_frame_video(args.frames_dir, frame_path, video_u8, fmt=args.format, pool=pool)
 
     csv_path = os.path.join(args.frames_dir, "narrated_actions.csv")
     fields = [

@@ -39,11 +39,16 @@ def main() -> None:
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--max_num_narrated_actions", type=int, default=0)
     p.add_argument("--csv_only", action="store_true")
+    p.add_argument(
+        "--format", choices=("png", "raw"), default="png",
+        help="png: per-frame PNGs (reference format); raw: one uint8 .npy per "
+        "clip, zero decode at load time (see scripts/ego4d/extract_frames.py)",
+    )
     args = p.parse_args()
 
-    import imageio.v3 as iio
     import jax.numpy as jnp
 
+    from eilev_tpu.data.frame import save_frame_video
     from eilev_tpu.data.video_datasets import EpicKitchensDataset
     from eilev_tpu.ops.preprocess import resize_video
 
@@ -57,15 +62,7 @@ def main() -> None:
     pool = ThreadPoolExecutor(args.num_workers)
 
     def write_frames(video_u8: np.ndarray, frame_path: str) -> None:
-        d = os.path.join(args.frames_dir, frame_path)
-        os.makedirs(d, exist_ok=True)
-        thwc = video_u8.transpose(1, 2, 3, 0)
-        futures = [
-            pool.submit(iio.imwrite, os.path.join(d, f"{frame_path}|{i}.png"), fr, extension=".png")
-            for i, fr in enumerate(thwc)
-        ]
-        for f in futures:
-            f.result()
+        save_frame_video(args.frames_dir, frame_path, video_u8, fmt=args.format, pool=pool)
 
     fields = [
         "frame_path", "video_uid", "clip_index", "narration_timestamp_sec",
