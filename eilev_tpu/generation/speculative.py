@@ -306,8 +306,13 @@ def prompt_lookup_greedy_decode(
         found = jnp.zeros((b,), bool)
         start = jnp.zeros((b,), jnp.int32)
         # try the longest tail first (HF prompt-lookup semantics: descending
-        # n-gram size, first size with a match wins; we take the MOST RECENT
-        # occurrence at that size)
+        # n-gram size, first size with a match wins, FIRST occurrence at that
+        # size). First — not most-recent — matters: greedy continuations
+        # contain token runs, and the most recent occurrence of a run token
+        # sits at the END of its run (continuation leaves the run) while the
+        # current position may be at its start; the first occurrence aligns
+        # with the sequence prefix. Measured: echo-corpus acceptance 2.0 ->
+        # 8.0 tokens/pass at gamma=8 (benchmarks/prompt_lookup_bench.py).
         for k in range(match_len, 0, -1):
             tail = jax.lax.dynamic_slice(corpus, (0, end - k), (b, k))  # (B, k)
             nwin = corpus_len - k
@@ -320,7 +325,7 @@ def prompt_lookup_greedy_decode(
             # also excludes the trivial self-match of the tail with itself
             ok = match & (widx + k < end)
             has_k = jnp.any(ok, axis=1)
-            best_k = jnp.max(jnp.where(ok, widx, -1), axis=1)  # most recent
+            best_k = jnp.min(jnp.where(ok, widx, corpus_len), axis=1)  # first
             take = has_k & ~found
             start = jnp.where(take, best_k + k, start)
             found = found | has_k

@@ -54,6 +54,12 @@ def parse_args():
     p.add_argument("--int8_kv", action="store_true",
                    help="int8 KV cache via the Pallas VMEM-dequant decode "
                         "kernel (halves the cache stream; serving mode)")
+    p.add_argument("--int8_qformer", action="store_true",
+                   help="W8A8 Q-Former GEMMs on the int8 MXU path (serving "
+                   "mode; NOT bit-parity)")
+    p.add_argument("--w8a8_prefill", action="store_true",
+                   help="with --int8_lm: run the LM prefill matmuls W8A8 on "
+                   "the int8 MXU (decode keeps weight-only int8)")
     p.add_argument("--int8_vision", action="store_true",
                    help="W8A8 vision tower on the int8 MXU path (1.2-1.8x "
                         "measured on v5e; serving mode, not bit-parity)")
@@ -63,8 +69,18 @@ def parse_args():
     p.add_argument("--draft_layers", type=int, default=0,
                    help="> 0: token-identical speculative greedy decoding "
                         "with the first N layers self-drafting")
-    p.add_argument("--draft_tokens", type=int, default=4,
-                   help="draft tokens per verify pass (with --draft_layers)")
+    p.add_argument("--draft_tokens", type=int, default=None,
+                   help="draft tokens per verify pass (default 4 with "
+                        "--draft_layers, 8 with --draft prompt_lookup whose "
+                        "drafts are free)")
+    p.add_argument("--draft", choices=("prompt_lookup",), default=None,
+                   help="prompt_lookup: MODEL-FREE token-identical "
+                        "speculative decoding — drafts come from n-gram "
+                        "matches against the prompt + generated text "
+                        "(measured 3.1x on the echo-heavy 16-shot workload "
+                        "shape, docs/PERF.md)")
+    p.add_argument("--draft_match_len", type=int, default=3,
+                   help="longest n-gram tail tried by --draft prompt_lookup")
     p.add_argument("--vision_cache", type=int, default=0,
                    help="LRU video-feature cache capacity (videos), keyed by "
                         "frame_path: each distinct video runs the vision tower "
@@ -106,7 +122,8 @@ def main() -> None:
         set_gelu_impl("fast")
     model, variables, config = load_model(
         args.model, dtype=dtype, int8_lm=args.int8_lm, int8_kv=args.int8_kv,
-        int8_vision=args.int8_vision,
+        int8_vision=args.int8_vision, int8_qformer=args.int8_qformer,
+        w8a8_prefill=args.w8a8_prefill,
     )
     tokenizer = load_tokenizer(args.processor or args.model)
 
@@ -255,7 +272,10 @@ def main() -> None:
             generation_config=gen_cfg,
             vision_chunks=args.vision_chunks,
             draft_layers=args.draft_layers or None,
-            draft_tokens=args.draft_tokens,
+            draft_tokens=args.draft_tokens
+            or (8 if args.draft == "prompt_lookup" else 4),
+            draft=args.draft,
+            draft_match_len=args.draft_match_len,
             video_features=video_features,
         )
         return meta, tokens
