@@ -159,18 +159,25 @@ def main() -> None:
     from eilev_tpu.ops.quantization import quantize_lm_params, quantize_vision_params
 
     int8_vision = os.environ.get("BENCH_INT8_VISION", "0") == "1"
+    int8_qformer = os.environ.get("BENCH_INT8_QFORMER", "0") == "1"
     qcfg = configs.replace(
         cfg,
         text_config=dataclasses.replace(
             cfg.text_config,
             quantize_matmuls=True,
             int8_kv_cache=os.environ.get("BENCH_INT8_KV", "0") == "1",
+            w8a8_prefill=os.environ.get("BENCH_W8A8_PREFILL", "0") == "1",
         ),
     )
     if int8_vision:
         qcfg = configs.replace(
             qcfg,
             vision_config=dataclasses.replace(qcfg.vision_config, quantize_matmuls=True),
+        )
+    if int8_qformer:
+        qcfg = configs.replace(
+            qcfg,
+            qformer_config=dataclasses.replace(qcfg.qformer_config, quantize_matmuls=True),
         )
     qmodel = VideoBlipForConditionalGeneration(qcfg, dtype=jnp.bfloat16)
 
@@ -180,6 +187,10 @@ def main() -> None:
         p["language_model"] = quantize_lm_params(p["language_model"])
         if int8_vision:
             p["vision_model"] = quantize_vision_params(p["vision_model"])
+        if int8_qformer:
+            from eilev_tpu.ops.quantization import quantize_qformer_params
+
+            p["qformer"] = quantize_qformer_params(p["qformer"])
         return p
 
     qvariables = {"params": quantize(variables["params"])}

@@ -67,6 +67,10 @@ class QFormerConfig:
     hidden_act: str = "gelu"
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    # OPT-IN W8A8 serving mode on the int8 MXU path (like the vision tower's
+    # flag): the Q-Former runs prefill-shaped GEMMs only, so every matmul
+    # takes the int8 x int8 path. Serving-mode only, NOT bit-parity.
+    quantize_matmuls: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -99,6 +103,10 @@ class OPTConfig:
     # cache stream via a Pallas kernel that dequantizes in VMEM. Serving-mode
     # only, like quantize_matmuls.
     int8_kv_cache: bool = False
+    # OPT-IN (with quantize_matmuls): large-M matmuls (the PREFILL) run W8A8
+    # on the int8 MXU (2x bf16 peak); the decode step keeps weight-only int8.
+    # Static shape dispatch in ops/quantization.py:Int8Dense.
+    w8a8_prefill: bool = False
     # OPT-IN per-layer rematerialization of the no-cache (training) forward:
     # store only layer-boundary activations and recompute layer internals in
     # the backward pass. Gradients flow THROUGH the frozen LM to the scattered

@@ -103,6 +103,8 @@ def load_model(
     int8_lm: bool = False,
     int8_kv: bool = False,
     int8_vision: bool = False,
+    int8_qformer: bool = False,
+    w8a8_prefill: bool = False,
     remat: bool = False,
 ):
     """Load a save_pretrained dir -> (model module, {'params': ...}, config).
@@ -114,12 +116,18 @@ def load_model(
     (ops/decode_attention.py): halves the cache stream too — the dominant
     decode cost at batch >= 8. ``int8_vision=True`` runs the (MXU-bound)
     vision tower's GEMMs as W8A8 on the int8 MXU path — measured 1.2-1.8x on
-    v5e (benchmarks/int8_mxu_probe.py). None is bit-parity with bf16 — off
-    by default.
+    v5e (benchmarks/int8_mxu_probe.py); ``int8_qformer=True`` extends that to
+    the Q-Former's GEMMs; ``w8a8_prefill=True`` (requires ``int8_lm``) runs
+    the LM's large-M matmuls — the PREFILL — on the int8 MXU too, while the
+    decode step keeps the weight-only read (static shape dispatch,
+    ops/quantization.py:Int8Dense). None is bit-parity with bf16 — off by
+    default.
     """
     with open(os.path.join(path, "config.json")) as f:
         hf_cfg = json.load(f)
     config = config_from_hf_dict(hf_cfg)
+    if w8a8_prefill and not int8_lm:
+        raise ValueError("w8a8_prefill requires int8_lm (shared int8 weights)")
     if int8_lm or int8_kv:
         import dataclasses
 
@@ -133,6 +141,18 @@ def load_model(
                 config.text_config,
                 quantize_matmuls=int8_lm,
                 int8_kv_cache=int8_kv,
+                w8a8_prefill=w8a8_prefill,
+            ),
+        )
+    if int8_qformer:
+        import dataclasses
+
+        from ..configs import replace as cfg_replace
+
+        config = cfg_replace(
+            config,
+            qformer_config=dataclasses.replace(
+                config.qformer_config, quantize_matmuls=True
             ),
         )
     if int8_vision:
@@ -166,6 +186,11 @@ def load_model(
 
         params = dict(params)
         params["vision_model"] = quantize_vision_params(params["vision_model"])
+    if int8_qformer:
+        from ..ops.quantization import quantize_qformer_params
+
+        params = dict(params)
+        params["qformer"] = quantize_qformer_params(params["qformer"])
     cls = (
         VideoBlipForConditionalGeneration
         if version == "v2"

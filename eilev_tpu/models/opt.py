@@ -583,11 +583,6 @@ class OPTForCausalLM(nn.Module):
         Returns logits of shape (B, C, L, vocab). The prompt cache is read-only and
         never duplicated across classes.
         """
-        if "k_scale" in cache:
-            raise NotImplementedError(
-                "classify/score_with_prefix needs a bf16 KV cache; disable "
-                "int8_kv_cache for classification workloads"
-            )
         b, c, l, _ = class_embeds.shape
         cls_mask = class_attention_mask.astype(jnp.int32)  # (B, C, L)
 
@@ -610,6 +605,19 @@ class OPTForCausalLM(nn.Module):
             + mask_to_bias(cls_mask.astype(bool))[:, :, None, None, :]
         )
 
+        int8_cache = "k_scale" in cache
+        if int8_cache:
+            # int8-KV serving mode: dequantize the shared prompt cache on the
+            # read side (materialized, like the decode fallback — the prompt
+            # cache is read C times per classify call, so the halved HBM
+            # footprint is what matters at the 188/793-class ICL eval shapes)
+            from ..ops.decode_attention import dequantize_kv
+
         for i, layer in enumerate(self.layers):
-            x = layer.shared_prefix(x, cache["k"][i], cache["v"][i], prefix_bias, self_bias)
+            if int8_cache:
+                pk = dequantize_kv(cache["k"][i], cache["k_scale"][i], dtype=x.dtype)
+                pv = dequantize_kv(cache["v"][i], cache["v_scale"][i], dtype=x.dtype)
+            else:
+                pk, pv = cache["k"][i], cache["v"][i]
+            x = layer.shared_prefix(x, pk, pv, prefix_bias, self_bias)
         return self._head(x)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..configs import QFormerConfig
 from ..ops.attention import dot_product_attention
+from ..ops.quantization import vision_dense_cls
 
 
 class QFormerMultiHeadAttention(nn.Module):
@@ -41,9 +42,10 @@ class QFormerMultiHeadAttention(nn.Module):
         kv = kv_states if kv_states is not None else hidden_states
         b, s, _ = hidden_states.shape
         l = kv.shape[1]
-        q = nn.Dense(nh * hd, dtype=self.dtype, name="query")(hidden_states)
-        k = nn.Dense(nh * hd, dtype=self.dtype, name="key")(kv)
-        v = nn.Dense(nh * hd, dtype=self.dtype, name="value")(kv)
+        dense = vision_dense_cls(cfg)
+        q = dense(nh * hd, dtype=self.dtype, name="query")(hidden_states)
+        k = dense(nh * hd, dtype=self.dtype, name="key")(kv)
+        v = dense(nh * hd, dtype=self.dtype, name="value")(kv)
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, l, nh, hd)
         v = v.reshape(b, l, nh, hd)
@@ -66,7 +68,7 @@ class QFormerSelfOutput(nn.Module):
     def __call__(
         self, hidden_states: jax.Array, input_tensor: jax.Array, deterministic: bool = True
     ) -> jax.Array:
-        x = nn.Dense(self.config.hidden_size, dtype=self.dtype, name="dense")(hidden_states)
+        x = vision_dense_cls(self.config)(self.config.hidden_size, dtype=self.dtype, name="dense")(hidden_states)
         x = nn.Dropout(self.config.hidden_dropout_prob)(x, deterministic=deterministic)
         return nn.LayerNorm(use_fast_variance=False, 
             epsilon=self.config.layer_norm_eps, dtype=self.dtype, name="layer_norm"
@@ -104,9 +106,10 @@ class QFormerFFN(nn.Module):
     @nn.compact
     def __call__(self, hidden_states: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.config
-        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(hidden_states)
+        dense = vision_dense_cls(cfg)
+        x = dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(hidden_states)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(x)
+        x = dense(cfg.hidden_size, dtype=self.dtype, name="output")(x)
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         return nn.LayerNorm(use_fast_variance=False, epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(
             x + hidden_states

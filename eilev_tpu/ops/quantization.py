@@ -57,11 +57,23 @@ class Int8Dense(nn.Module):
     The dot runs int8 weights against model-dtype activations with f32
     accumulation; the scale applies to the f32 accumulator before casting
     back, so the only quantization error is the weight rounding itself.
+
+    ``w8a8_min_rows > 0`` (the ``w8a8_prefill`` serving mode): calls whose
+    STATIC total row count reaches the threshold additionally quantize the
+    activations per row and run int8 x int8 -> int32 on the 394-TOPS int8
+    MXU path (2x the bf16 peak; measured 1.23x realistic at the flagship MLP
+    shape incl. quant overhead — benchmarks/int8_mxu_probe.py). Because the
+    dispatch is on the traced shape, one set of {w8, scale, bias} params
+    serves both program forms: the LM PREFILL (thousands of rows, MXU-bound)
+    takes the int8-MXU path while the DECODE step (batch-sized rows,
+    HBM-bound) keeps the weight-only read where activation quant would only
+    add cost. Extra error vs weight-only: per-token activation rounding.
     """
 
     features: int
     use_bias: bool = True
     dtype: Any = jnp.float32
+    w8a8_min_rows: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -69,13 +81,26 @@ class Int8Dense(nn.Module):
             "w8", nn.initializers.zeros, (x.shape[-1], self.features), jnp.int8
         )
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
-        y = jax.lax.dot_general(
-            x,
-            w8,
-            (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        y = (y * scale).astype(self.dtype)
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if self.w8a8_min_rows and rows >= self.w8a8_min_rows:
+            x8, xs = quantize_act_rows(x)
+            y32 = jax.lax.dot_general(
+                x8,
+                w8,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (y32.astype(jnp.float32) * xs * scale).astype(self.dtype)
+        else:
+            y = jax.lax.dot_general(
+                x,
+                w8,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = (y * scale).astype(self.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.dtype
@@ -84,9 +109,22 @@ class Int8Dense(nn.Module):
         return y
 
 
+#: Row threshold for the w8a8_prefill dispatch: decode steps run batch-sized
+#: (<= ~16) rows; prefill runs batch x seq (thousands). 64 splits them with
+#: wide margin on both sides.
+W8A8_PREFILL_MIN_ROWS = 64
+
+
 def dense_cls(config) -> type:
-    """nn.Dense, or Int8Dense when the config opts into quantized matmuls."""
-    return Int8Dense if getattr(config, "quantize_matmuls", False) else nn.Dense
+    """nn.Dense, or Int8Dense when the config opts into quantized matmuls
+    (with the W8A8 large-M dispatch when ``w8a8_prefill`` is also set)."""
+    if not getattr(config, "quantize_matmuls", False):
+        return nn.Dense
+    if getattr(config, "w8a8_prefill", False):
+        import functools
+
+        return functools.partial(Int8Dense, w8a8_min_rows=W8A8_PREFILL_MIN_ROWS)
+    return Int8Dense
 
 
 def quantize_lm_params(params: Any, names: Optional[frozenset] = None) -> Any:
@@ -194,3 +232,23 @@ def quantize_vision_params(params: Any) -> Any:
     time by :class:`Int8W8A8Dense`.
     """
     return quantize_lm_params(params, names=VISION_QUANT_NAMES)
+
+
+# flax param-tree node names quantized in the Q-Former (models/qformer.py):
+# q/k/v projections, the attention output dense, and the FFN pair. The
+# language_projection head and layer norms stay in model dtype.
+QFORMER_QUANT_NAMES = frozenset(
+    {"query", "key", "value", "dense", "intermediate", "output"}
+)
+
+
+def quantize_qformer_params(params: Any) -> Any:
+    """Transform a loaded Q-Former param subtree for ``quantize_matmuls``.
+
+    NOTE: the walk must run on the qformer SUBTREE only — the node names
+    ("dense", "output") are generic BERT naming that would collide elsewhere.
+    "output" names both the FFN's second dense (a kernel-bearing dict -> gets
+    quantized) and wrapper modules (no "kernel" leaf -> recursed into), which
+    the kernel-presence check disambiguates.
+    """
+    return quantize_lm_params(params, names=QFORMER_QUANT_NAMES)

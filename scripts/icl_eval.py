@@ -58,6 +58,21 @@ def parse_args():
     p.add_argument("--log_noun_preds", action="store_true")
     p.add_argument("--wandb_project", default=None)
     p.add_argument("--output_json", default=None)
+    p.add_argument("--fast_gelu", action="store_true",
+                   help="tanh gelu serving mode in the ViT (98.9% bf16-"
+                   "faithful, tower 66->74% MFU; NOT bit-parity)")
+    p.add_argument("--int8_lm", action="store_true",
+                   help="weight-only int8 LM serving path (classification "
+                   "scoring reads int8 weights; NOT bit-parity)")
+    p.add_argument("--int8_kv", action="store_true",
+                   help="int8 KV prompt cache; score_with_prefix dequantizes "
+                   "on the read side (halves the shared-prompt cache HBM)")
+    p.add_argument("--int8_vision", action="store_true",
+                   help="W8A8 vision tower on the int8 MXU path")
+    p.add_argument("--int8_qformer", action="store_true",
+                   help="W8A8 Q-Former GEMMs on the int8 MXU path")
+    p.add_argument("--w8a8_prefill", action="store_true",
+                   help="with --int8_lm: LM prefill matmuls W8A8 on the int8 MXU")
     return p.parse_args()
 
 
@@ -75,7 +90,15 @@ def main() -> None:
     from eilev_tpu.models.auto import load_model, load_tokenizer
     from eilev_tpu.utils import WandbLogger
 
-    model, variables, config = load_model(args.model, dtype=dtype)
+    if args.fast_gelu:
+        from eilev_tpu.ops.gelu import set_gelu_impl
+
+        set_gelu_impl("fast")
+    model, variables, config = load_model(
+        args.model, dtype=dtype, int8_lm=args.int8_lm, int8_kv=args.int8_kv,
+        int8_vision=args.int8_vision, int8_qformer=args.int8_qformer,
+        w8a8_prefill=args.w8a8_prefill,
+    )
     if args.model_parallel and args.model_parallel > 1:
         import jax
 

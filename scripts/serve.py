@@ -67,6 +67,8 @@ def parse_args():
     p.add_argument("--int8_lm", action="store_true")
     p.add_argument("--int8_kv", action="store_true")
     p.add_argument("--int8_vision", action="store_true")
+    p.add_argument("--int8_qformer", action="store_true")
+    p.add_argument("--w8a8_prefill", action="store_true")
     p.add_argument("--fast_gelu", action="store_true")
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--compilation_cache", default=None,
@@ -99,7 +101,8 @@ def main():
         set_gelu_impl("fast")
     model, variables, config = load_model(
         args.model, dtype=dtype, int8_lm=args.int8_lm, int8_kv=args.int8_kv,
-        int8_vision=args.int8_vision,
+        int8_vision=args.int8_vision, int8_qformer=args.int8_qformer,
+        w8a8_prefill=args.w8a8_prefill,
     )
     tokenizer = load_tokenizer(args.processor or args.model)
     if args.model_parallel and args.model_parallel > 1:
@@ -267,14 +270,22 @@ def main():
             )
 
     lats = sorted(latency.values())
+
+    def pct(q: float):
+        return round(lats[min(len(lats) - 1, int(len(lats) * q))], 3) if lats else None
+
     metrics = {
         "requests": n,
         "wall_sec": round(wall, 3),
         "videos_per_sec": round(n * (videos_per_request or 0) / wall, 3),
         "latency_p50_sec": round(lats[len(lats) // 2], 3) if lats else None,
-        "latency_p95_sec": (
-            round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3) if lats else None
-        ),
+        "latency_p95_sec": pct(0.95),
+        "latency_p99_sec": pct(0.99),
+        "latency_max_sec": round(lats[-1], 3) if lats else None,
+        # cache-pressure events: compactions are the rolling reclaim (no
+        # stall); resets only ever fire on an EMPTY engine (free)
+        "cache_compactions": engine.stats["compactions"],
+        "cache_resets": engine.stats["resets"],
         "arrival_rate": args.arrival_rate,
         "max_slots": args.max_slots,
         "chunk_tokens": args.chunk_tokens,

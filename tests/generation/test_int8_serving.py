@@ -122,6 +122,124 @@ def test_int8_generate_runs_and_tracks_bf16():
     assert cos > 0.999, cos
 
 
+def test_w8a8_prefill_dispatch_and_generate():
+    """w8a8_prefill: same {w8, scale, bias} params serve two program forms —
+    prefill (rows >= threshold) on the int8 x int8 MXU path, decode (batch
+    rows) weight-only. Generation must run and the prefill logits must track
+    the weight-only int8 logits (extra error = activation rounding only)."""
+    from eilev_tpu.ops.quantization import W8A8_PREFILL_MIN_ROWS
+
+    cfg, model, qmodel, params, qparams, ids, pixel, vim = _tiny_models()
+    wcfg = configs.replace(
+        cfg,
+        text_config=dataclasses.replace(
+            cfg.text_config, quantize_matmuls=True, w8a8_prefill=True
+        ),
+    )
+    wmodel = VideoBlipForConditionalGeneration(wcfg, dtype=jnp.float32)
+    # tiny prompts are below the row threshold; verify the dispatch boundary
+    # directly on Int8Dense
+    from eilev_tpu.ops.quantization import Int8Dense, quantize_int8
+
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)) * 0.05
+    w8, scale = quantize_int8(w)
+    tree = {"params": {"w8": w8, "scale": scale, "bias": jnp.zeros((8,), jnp.float32)}}
+    mod = Int8Dense(features=8, dtype=jnp.float32, w8a8_min_rows=W8A8_PREFILL_MIN_ROWS)
+    x_small = jnp.asarray(rng.normal(size=(2, 3, 16)).astype(np.float32))
+    x_big = jnp.asarray(rng.normal(size=(2, W8A8_PREFILL_MIN_ROWS, 16)).astype(np.float32))
+    y_small = mod.apply(tree, x_small)
+    y_small_ref = Int8Dense(features=8, dtype=jnp.float32).apply(tree, x_small)
+    np.testing.assert_array_equal(np.asarray(y_small), np.asarray(y_small_ref))
+    y_big = mod.apply(tree, x_big)
+    y_big_ref = Int8Dense(features=8, dtype=jnp.float32).apply(tree, x_big)
+    # W8A8 differs from weight-only by activation rounding, but only slightly
+    assert not np.array_equal(np.asarray(y_big), np.asarray(y_big_ref))
+    rel = np.abs(np.asarray(y_big) - np.asarray(y_big_ref)) / (
+        np.abs(np.asarray(y_big_ref)) + 1e-2
+    )
+    assert float(np.median(rel)) < 0.05, float(np.median(rel))
+
+    # end to end: generation with the w8a8 model emits valid tokens
+    gen_cfg = GenerationConfig(max_new_tokens=4, pad_token_id=1)
+    out = np.asarray(
+        generate(
+            wmodel, {"params": qparams},
+            input_ids=jnp.asarray(ids), pixel_values=jnp.asarray(pixel),
+            video_input_mask=jnp.asarray(vim), generation_config=gen_cfg,
+        )
+    )
+    assert out.shape == (ids.shape[0], 4)
+    assert (out >= 0).all() and (out < cfg.text_config.vocab_size).all()
+
+
+def test_int8_qformer_tracks_fp32():
+    """W8A8 Q-Former serving mode: quantized subtree matches the flagged
+    init structure and the video features track the fp32 features."""
+    from eilev_tpu.ops.quantization import quantize_qformer_params
+
+    cfg, model, qmodel, params, qparams, ids, pixel, vim = _tiny_models()
+    qfcfg = configs.replace(
+        cfg,
+        qformer_config=dataclasses.replace(cfg.qformer_config, quantize_matmuls=True),
+    )
+    qfmodel = VideoBlipForConditionalGeneration(qfcfg, dtype=jnp.float32)
+    qfparams = dict(params)
+    qfparams["qformer"] = quantize_qformer_params(params["qformer"])
+
+    expect = qfmodel.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(ids),
+        pixel_values=jnp.asarray(pixel),
+        video_input_mask=jnp.asarray(vim),
+    )["params"]["qformer"]
+    got_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree.leaves_with_path(qfparams["qformer"])}
+    want_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree.leaves_with_path(expect)}
+    assert got_paths == want_paths
+
+    ref = model.apply(
+        {"params": params}, jnp.asarray(pixel), method=type(model).encode_videos
+    )
+    got = qfmodel.apply(
+        {"params": qfparams}, jnp.asarray(pixel), method=type(qfmodel).encode_videos
+    )
+    a = np.asarray(ref, np.float32).reshape(-1)
+    g = np.asarray(got, np.float32).reshape(-1)
+    cos = float(np.dot(a, g) / (np.linalg.norm(a) * np.linalg.norm(g) + 1e-9))
+    assert cos > 0.99, cos
+
+
+def test_int8_kv_classify_tracks_fp32():
+    """classify/score_with_prefix with an int8 prompt cache (round 4: closes
+    the icl_eval serving gap — the class continuations read the shared cache
+    through a materialized dequant, so the 188/793-class ICL eval can run on
+    the int8 serving stack). Scores must track the fp32-cache scores and the
+    predicted class must agree; class_batch_size chunking must be exact."""
+    from eilev_tpu.generation import classify
+
+    cfg, model, qmodel, params, qparams, ids, pixel, vim = _tiny_models()
+    kvcfg = configs.replace(
+        cfg, text_config=dataclasses.replace(cfg.text_config, int8_kv_cache=True)
+    )
+    kvmodel = VideoBlipForConditionalGeneration(kvcfg, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    class_ids = jnp.asarray(rng.integers(4, cfg.text_config.vocab_size, size=(6, 3)))
+    kw = dict(
+        prompt_input_ids=jnp.asarray(ids),
+        class_input_ids=class_ids,
+        pixel_values=jnp.asarray(pixel),
+        prompt_video_input_mask=jnp.asarray(vim),
+    )
+    ref = np.asarray(classify(model, {"params": params}, **kw))
+    got = np.asarray(classify(kvmodel, {"params": params}, **kw))
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(ref, -1))
+    np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.1)
+    # chunked == unchunked with the int8 cache
+    chunked = np.asarray(classify(kvmodel, {"params": params}, class_batch_size=2, **kw))
+    np.testing.assert_allclose(chunked, got, atol=1e-5, rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # W8A8 vision serving mode (int8 MXU path; ops/quantization.py)
 # ---------------------------------------------------------------------------
