@@ -127,6 +127,39 @@ def test_engine_session_flush_and_reset(world):
         np.testing.assert_array_equal(done[rid].tokens, ref[rid], err_msg=str(rid))
 
 
+def test_engine_rolling_compaction_no_drain(world):
+    """Round 4: cache pressure triggers COMPACTION (uniform left-shift of the
+    dead prefix), not a drain — outputs stay token-identical, at least one
+    compaction fires, and with continuously overlapping work no global reset
+    happens (the round-3 drain-and-reset stalled every live request)."""
+    cfg, model, variables, make_request = world
+    gen_cfg = GenerationConfig(max_new_tokens=4, pad_token_id=1)
+    requests = [make_request(40 + seed, extra_text=seed % 2) for seed in range(8)]
+    ref = _reference_rows(model, variables, gen_cfg, requests)
+
+    # 2 slots, max_len just big enough for ~2 concurrent windows: steady
+    # submissions force repeated cache pressure while a row is always live
+    eng = ContinuousBatchingEngine(
+        model, variables, gen_cfg, max_slots=2, max_len=32,
+        chunk_tokens=2, prefill_bucket=8,
+    )
+    done: dict[int, Completion] = {}
+    pending = list(range(8))
+    chunk = 0
+    while pending or not eng.idle:
+        # keep the queue topped up so slots never all drain
+        while pending and len(eng._queue) < 2:
+            eng.submit(dataclasses.replace(requests[pending.pop(0)]))
+        for c in eng.step():
+            done[c.rid] = c
+        chunk += 1
+        assert chunk < 300
+    for rid in range(8):
+        np.testing.assert_array_equal(done[rid].tokens, ref[rid], err_msg=str(rid))
+    assert eng.stats["compactions"] >= 1, eng.stats
+    assert eng.stats["resets"] == 0, eng.stats
+
+
 def test_engine_rejects_oversized_prompt(world):
     cfg, model, variables, make_request = world
     gen_cfg = GenerationConfig(max_new_tokens=8, pad_token_id=1)
