@@ -407,13 +407,26 @@ class T5Decoder(nn.Module):
         else:
             index = cache["index"]
             max_len = cache["k"].shape[2]
-            filled = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1) < (index + s)
-            ).astype(jnp.int32)
-            # decode: query offset along the cache is the traced index, so fold
-            # causality into the filled-slots mask (tokens are appended strictly
-            # left to right, so "filled" == "attendable" for the newest queries)
+            slot_pos = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+            if "mask" in cache:
+                # continuous-batching slot cache (serving/engine.py): rows
+                # admitted at different times carry a PER-ROW attendable mask
+                # whose dead prefix (stale positions from earlier occupants)
+                # stays 0. Correctness rests on T5's relative bias being
+                # translation-invariant: a row whose first real token sits at
+                # cache position `index_admit` sees exactly the distances a
+                # fresh cache would produce.
+                written = ((slot_pos >= index) & (slot_pos < index + s)).astype(
+                    cache["mask"].dtype
+                )
+                filled = jnp.maximum(cache["mask"], written)  # (B, max_len)
+            else:
+                # decode: tokens are appended strictly left to right, so
+                # "filled" == "attendable" for the newest queries
+                filled = (slot_pos < (index + s)).astype(jnp.int32)
             self_attn = {
+                # query offset along the cache is the traced index, so fold
+                # causality into the filled-slots mask
                 "bias": rel.compute_bias(s, max_len, q_offset=index)[0],
                 "padding_mask": filled,
             }
@@ -421,6 +434,8 @@ class T5Decoder(nn.Module):
             cross = [(cache["cross_k"][i], cache["cross_v"][i]) for i in range(len(self.layers))]
             new_cache = dict(cache)
             new_cache["index"] = index + s
+            if "mask" in cache:
+                new_cache["mask"] = filled
 
         x = self.dropout(inputs_embeds, deterministic=deterministic)
         if cache is None and self.config.remat:

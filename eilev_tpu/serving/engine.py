@@ -40,9 +40,20 @@ production-serving design — built TPU-first:
 
 Works with every LM serving mode (bf16, ``int8_lm``, ``int8_kv``,
 ``int8_vision`` — the cache-merge walks whatever tensors the cache dict
-carries). Decoder-only LMs only, one prompt *geometry* (number of videos)
-per engine — the EILeV serving workload is a fixed 16-shot+query prompt
-(reference slurm-scripts/README.md:71-76), which is exactly this shape.
+carries). One prompt *geometry* (number of videos) per engine — the EILeV
+serving workload is a fixed 16-shot+query prompt (reference
+slurm-scripts/README.md:71-76), which is exactly this shape.
+
+T5 (round 4): the encoder-decoder family serves through the same scheduler.
+Its shape is FRIENDLIER than OPT's: the prompt lives in per-slot cross-K/V
+buffers (admission = one encoder pass + a row splice, never touching the
+shared self cache), and T5's relative position bias is translation-
+invariant, so a request whose decoder tokens start at an arbitrary shared
+cache index sees exactly the distances a fresh cache would produce. A
+per-row attendable mask (models/t5.py cached branch) gates dead positions.
+Admission seeds the slot with ``decoder_start_token_id``; the chunked
+decode is token-in/logits-out. Outputs are token-identical to isolated
+``generate`` (tests/serving/test_engine.py T5 cases).
 """
 
 from __future__ import annotations
@@ -56,9 +67,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..configs import OPTConfig
+from ..configs import OPTConfig, T5Config
 from ..generation.config import GenerationConfig
-from ..generation.decoding import _decode_chunk
+from ..generation.decoding import _decode_chunk, _is_eos, _select_token
 from ..models import opt as opt_mod
 from ..models.video_blip import VideoBlipForConditionalGeneration as VB
 
@@ -134,6 +145,96 @@ def _admit(
     return new_cache, last_logits, finished
 
 
+@functools.partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+def _admit_t5(
+    model: VB,
+    variables,
+    cache,
+    enc_mask: jax.Array,  # (slots, P)
+    next_tok: jax.Array,  # (slots,)
+    finished: jax.Array,  # (slots,) bool
+    embeds: jax.Array,  # (1, W, D) prompt embeds (right-padded to bucket W)
+    prompt_mask: jax.Array,  # (1, W)
+    slot: jax.Array,  # ()
+):
+    """T5 admission: one encoder pass, splice the slot's cross K/V + encoder
+    mask, blank the slot's self-cache mask (its dead prefix stays unattended),
+    and seed the decoder with the start token. The shared self cache and
+    index are untouched — T5 prompts never enter the self cache."""
+    tcfg: T5Config = model.config.text_config
+    encoder_hidden = model.apply(variables, embeds, prompt_mask, method=VB.t5_encode)
+    ck, cv = model.apply(
+        variables,
+        encoder_hidden,
+        method=lambda mdl, h: mdl.language_model.decoder.make_cross_kv(h),
+    )  # (L, 1, W, H, hd)
+    p_max = cache["cross_k"].shape[2]
+    w = ck.shape[2]
+    pad = p_max - w
+    if pad:
+        ck = jnp.pad(ck, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        cv = jnp.pad(cv, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        row_mask = jnp.pad(prompt_mask, ((0, 0), (0, pad)))
+    else:
+        row_mask = prompt_mask
+    new_cache = dict(cache)
+    new_cache["cross_k"] = jax.lax.dynamic_update_slice(
+        cache["cross_k"], ck.astype(cache["cross_k"].dtype), (0, slot, 0, 0, 0)
+    )
+    new_cache["cross_v"] = jax.lax.dynamic_update_slice(
+        cache["cross_v"], cv.astype(cache["cross_v"].dtype), (0, slot, 0, 0, 0)
+    )
+    new_cache["mask"] = jax.lax.dynamic_update_slice(
+        cache["mask"], jnp.zeros((1, cache["mask"].shape[1]), cache["mask"].dtype),
+        (slot, 0),
+    )
+    enc_mask = jax.lax.dynamic_update_slice(
+        enc_mask, row_mask.astype(enc_mask.dtype), (slot, 0)
+    )
+    next_tok = next_tok.at[slot].set(jnp.asarray(tcfg.decoder_start_token_id, next_tok.dtype))
+    finished = finished.at[slot].set(False)
+    return new_cache, enc_mask, next_tok, finished
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "gen_cfg", "chunk"), donate_argnums=(2,)
+)
+def _decode_chunk_t5(
+    model: VB,
+    variables,
+    cache,
+    enc_mask: jax.Array,
+    next_tok: jax.Array,  # (slots,) token to FEED next (start token or last emitted)
+    finished: jax.Array,
+    gen_cfg: GenerationConfig,
+    rng: jax.Array,
+    chunk: int,
+):
+    """Token-in/logits-out chunked decode for T5 slots (the OPT chunk is
+    logits-in because its first token comes from the prefill logits; T5's
+    comes from feeding decoder_start_token_id)."""
+    slots = next_tok.shape[0]
+    d_model = model.config.text_config.d_model
+    enc_dummy = jnp.zeros((slots, 1, d_model), model.dtype)  # unused by cached steps
+
+    def body(carry, _):
+        cache, tok, finished, cur_rng = carry
+        cur_rng, step_rng = jax.random.split(cur_rng)
+        logits, cache = model.apply(
+            variables, tok[:, None].astype(jnp.int32), enc_dummy, enc_mask, cache,
+            method=VB.t5_decode_step,
+        )
+        nxt = _select_token(logits[:, -1], gen_cfg, step_rng)
+        nxt = jnp.where(finished, gen_cfg.pad_token_id, nxt)
+        new_finished = finished | _is_eos(nxt, gen_cfg)
+        return (cache, nxt, new_finished, cur_rng), nxt
+
+    (cache, next_tok, finished, rng), toks = jax.lax.scan(
+        body, (cache, next_tok, finished, rng), None, length=chunk
+    )
+    return cache, next_tok, finished, rng, toks.T  # (slots, chunk)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _compact_cache(cache, delta: jax.Array):
     """Shift the shared cache left by ``delta`` positions (uniform across
@@ -184,6 +285,7 @@ class ContinuousBatchingEngine:
         max_len: int = 2048,
         chunk_tokens: int = 8,
         prefill_bucket: int = 64,
+        max_prompt_len: int = 2048,
         rng: Optional[jax.Array] = None,
         vision_chunks: int = 1,
         feature_cache: Optional["VideoFeatureCache"] = None,
@@ -191,17 +293,30 @@ class ContinuousBatchingEngine:
     ):
         if feature_loader is not None and feature_cache is None:
             raise ValueError("feature_loader requires feature_cache")
-        if not isinstance(model.config.text_config, OPTConfig) and not hasattr(
-            model.config.text_config, "num_key_value_heads"
+        self._is_t5 = isinstance(model.config.text_config, T5Config)
+        if (
+            not self._is_t5
+            and not isinstance(model.config.text_config, OPTConfig)
+            and not hasattr(model.config.text_config, "num_key_value_heads")
         ):
-            raise ValueError("continuous batching supports decoder-only LMs")
+            raise ValueError(
+                "continuous batching supports decoder-only LMs and T5"
+            )
         if generation_config.has_logits_processors:
             raise NotImplementedError(
                 "the serving engine's chunked decode does not implement "
                 "repetition_penalty/no_repeat_ngram_size/min_new_tokens; "
                 "use generate() for those knobs"
             )
-        if generation_config.max_new_tokens + prefill_bucket > max_len:
+        if self._is_t5:
+            # T5 prompts live in the per-slot cross buffers (max_prompt_len
+            # wide); the shared self cache holds decoder tokens only
+            if generation_config.max_new_tokens > max_len:
+                raise ValueError(
+                    f"max_len={max_len} cannot hold max_new_tokens="
+                    f"{generation_config.max_new_tokens}"
+                )
+        elif generation_config.max_new_tokens + prefill_bucket > max_len:
             raise ValueError(
                 f"max_len={max_len} cannot hold one prompt bucket "
                 f"({prefill_bucket}) plus max_new_tokens "
@@ -209,7 +324,13 @@ class ContinuousBatchingEngine:
             )
         self.model = model
         self.variables = variables
+        if generation_config.eos_token_id is None:
+            # mirror generate(): the model's eos terminates rows
+            generation_config = generation_config.with_eos(
+                model.config.text_config.eos_token_id
+            )
         self.gen_cfg = generation_config
+        self.max_prompt_len = max_prompt_len
         self.max_slots = max_slots
         self.max_len = max_len
         self.chunk_tokens = chunk_tokens
@@ -256,16 +377,25 @@ class ContinuousBatchingEngine:
                 self._admit_pending()
             if not any(self._active):
                 return []
-        self._cache, self._logits, self._finished, self._rng, toks = _decode_chunk(
-            self.model,
-            self.variables,
-            self._cache,
-            self._logits,
-            self._finished,
-            self.gen_cfg,
-            self._rng,
-            self.chunk_tokens,
-        )
+        if self._is_t5:
+            (
+                self._cache, self._next_tok, self._finished, self._rng, toks
+            ) = _decode_chunk_t5(
+                self.model, self.variables, self._cache, self._enc_mask,
+                self._next_tok, self._finished, self.gen_cfg, self._rng,
+                self.chunk_tokens,
+            )
+        else:
+            self._cache, self._logits, self._finished, self._rng, toks = _decode_chunk(
+                self.model,
+                self.variables,
+                self._cache,
+                self._logits,
+                self._finished,
+                self.gen_cfg,
+                self._rng,
+                self.chunk_tokens,
+            )
         self._chunk_count += 1
         return self._harvest(np.asarray(toks), np.asarray(self._finished))
 
@@ -284,11 +414,34 @@ class ContinuousBatchingEngine:
 
     def _reset_state(self) -> None:
         tcfg = self.model.config.text_config
-        self._cache = opt_mod.init_cache(
-            tcfg, self.max_slots, self.max_len, dtype=self._dtype
-        )
-        vocab = tcfg.vocab_size
-        self._logits = jnp.zeros((self.max_slots, vocab), self._dtype)
+        if self._is_t5:
+            shape = (
+                tcfg.num_decoder_layers, self.max_slots, self.max_len,
+                tcfg.num_heads, tcfg.d_kv,
+            )
+            cross_shape = (
+                tcfg.num_decoder_layers, self.max_slots, self.max_prompt_len,
+                tcfg.num_heads, tcfg.d_kv,
+            )
+            self._cache = {
+                "index": jnp.zeros((), jnp.int32),
+                "k": jnp.zeros(shape, self._dtype),
+                "v": jnp.zeros(shape, self._dtype),
+                "mask": jnp.zeros((self.max_slots, self.max_len), jnp.int32),
+                "cross_k": jnp.zeros(cross_shape, self._dtype),
+                "cross_v": jnp.zeros(cross_shape, self._dtype),
+            }
+            self._enc_mask = jnp.zeros(
+                (self.max_slots, self.max_prompt_len), jnp.int32
+            )
+            self._next_tok = jnp.full(
+                (self.max_slots,), self.gen_cfg.pad_token_id, jnp.int32
+            )
+        else:
+            self._cache = opt_mod.init_cache(
+                tcfg, self.max_slots, self.max_len, dtype=self._dtype
+            )
+            self._logits = jnp.zeros((self.max_slots, tcfg.vocab_size), self._dtype)
         self._finished = jnp.ones((self.max_slots,), bool)  # inactive == finished
         self._active: list[Optional[Request]] = [None] * self.max_slots
         self._emitted: list[list[int]] = [[] for _ in range(self.max_slots)]
@@ -323,6 +476,9 @@ class ContinuousBatchingEngine:
         return True
 
     def _admit_pending(self) -> None:
+        if self._is_t5:
+            self._admit_pending_t5()
+            return
         tried_compact = False
         while self._queue:
             slot = next(
@@ -364,6 +520,61 @@ class ContinuousBatchingEngine:
                 self.variables,
                 self._cache,
                 self._logits,
+                self._finished,
+                embeds,
+                jnp.asarray(mask[None], jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+            )
+            self._active[slot] = req
+            self._emitted[slot] = []
+            self._admitted_chunk[slot] = self._chunk_count
+
+    def _admit_pending_t5(self) -> None:
+        tried_compact = False
+        while self._queue:
+            slot = next(
+                (i for i, r in enumerate(self._active) if r is None), None
+            )
+            if slot is None:
+                return
+            req = self._queue[0]
+            p = len(req.input_ids)
+            if p > self.max_prompt_len:
+                self._queue.popleft()
+                raise ValueError(
+                    f"request rid={req.rid} prompt ({p} tokens) exceeds "
+                    f"max_prompt_len={self.max_prompt_len}"
+                )
+            # the self cache only holds decoder tokens; pressure is purely
+            # decode headroom from the current shared index
+            if int(self._cache["index"]) + self.gen_cfg.max_new_tokens > self.max_len:
+                if not tried_compact:
+                    tried_compact = True
+                    if self._compact():
+                        continue
+                return  # blocked on the oldest live row; retry next chunk
+            self._queue.popleft()
+            # right-pad the prompt to a bucket width (encoder compile count
+            # bounded by max_prompt_len / prefill_bucket)
+            b = self.prefill_bucket
+            w = min(-(-p // b) * b, self.max_prompt_len)
+            pad = w - p
+            ids = np.concatenate([req.input_ids, np.zeros(pad, np.int64)])
+            mask = np.concatenate([np.ones(p, np.int64), np.zeros(pad, np.int64)])
+            vim = (
+                np.concatenate([req.video_input_mask, np.zeros(pad, np.int64)])
+                if req.video_input_mask is not None
+                else None
+            )
+            embeds = self._embed(ids, req.pixel_values, vim, req.feature_keys)
+            (
+                self._cache, self._enc_mask, self._next_tok, self._finished
+            ) = _admit_t5(
+                self.model,
+                self.variables,
+                self._cache,
+                self._enc_mask,
+                self._next_tok,
                 self._finished,
                 embeds,
                 jnp.asarray(mask[None], jnp.int32),

@@ -160,6 +160,112 @@ def test_engine_rolling_compaction_no_drain(world):
     assert eng.stats["resets"] == 0, eng.stats
 
 
+@pytest.fixture(scope="module")
+def t5_world():
+    cfg = configs.tiny_config(text_model="t5")
+    model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.float32)
+    t, s = 2, 14
+    img = cfg.vision_config.image_size
+    q = cfg.num_query_tokens
+
+    def make_request(seed, extra_text=0):
+        r = np.random.default_rng(seed)
+        p = s + extra_text
+        ids = r.integers(4, cfg.text_config.vocab_size, size=(p,))
+        vim = np.zeros((p,), np.int64)
+        vim[1 : 1 + q] = 1
+        pixel = r.normal(size=(1, 3, t, img, img)).astype(np.float32)
+        return Request(input_ids=ids, pixel_values=pixel, video_input_mask=vim)
+
+    first = make_request(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(first.input_ids[None]),
+        pixel_values=jnp.asarray(first.pixel_values),
+        video_input_mask=jnp.asarray(first.video_input_mask[None]),
+        labels=jnp.asarray(np.zeros((1, 3), np.int64)),
+    )["params"]
+    return cfg, model, {"params": params}, make_request
+
+
+def test_engine_t5_batch_matches_isolated_generate(t5_world):
+    """Round 4: the encoder-decoder family serves through the same scheduler.
+    Engine completions are the NEW tokens (isolated seq2seq generate prepends
+    decoder_start_token_id — HF contract)."""
+    cfg, model, variables, make_request = t5_world
+    gen_cfg = GenerationConfig(
+        max_new_tokens=6, pad_token_id=cfg.text_config.pad_token_id
+    )
+    requests = [make_request(seed, extra_text=seed % 3) for seed in range(4)]
+    ref = _reference_rows(model, variables, gen_cfg, requests)
+
+    eng = ContinuousBatchingEngine(
+        model, variables, gen_cfg, max_slots=2, max_len=32,
+        chunk_tokens=3, prefill_bucket=8, max_prompt_len=24,
+    )
+    done = eng.run([dataclasses.replace(r) for r in requests])
+    assert sorted(done) == [0, 1, 2, 3]
+    for rid, completion in done.items():
+        # ref[rid] = [start, tok_0, ..]; engine rows = [tok_0, ..] pad-filled
+        want = np.full_like(completion.tokens, gen_cfg.pad_token_id)
+        got_ref = ref[rid][1:]
+        want[: len(got_ref)] = got_ref
+        np.testing.assert_array_equal(completion.tokens, want, err_msg=str(rid))
+
+
+def test_engine_t5_staggered_and_compaction(t5_world):
+    """Staggered T5 arrivals with a tight decoder cache: outputs stay exact
+    through slot reuse and rolling compaction (relative bias is translation-
+    invariant, so rows starting at arbitrary cache offsets are exact)."""
+    cfg, model, variables, make_request = t5_world
+    gen_cfg = GenerationConfig(
+        max_new_tokens=4, pad_token_id=cfg.text_config.pad_token_id
+    )
+    requests = [make_request(60 + seed, extra_text=seed % 2) for seed in range(6)]
+    ref = _reference_rows(model, variables, gen_cfg, requests)
+
+    # chunk 3 vs max_new 4 staggers completions; the lone first submission
+    # staggers admissions, so cache pressure always hits with a row LIVE -
+    # exercising compaction (not the empty-engine reset)
+    eng = ContinuousBatchingEngine(
+        model, variables, gen_cfg, max_slots=2, max_len=12,
+        chunk_tokens=3, prefill_bucket=8, max_prompt_len=24,
+    )
+    done: dict[int, Completion] = {}
+    pending = list(range(6))
+    eng.submit(dataclasses.replace(requests[pending.pop(0)]))
+    for c in eng.step():
+        done[c.rid] = c
+    chunk = 0
+    while pending or not eng.idle:
+        while pending and len(eng._queue) < 2:
+            eng.submit(dataclasses.replace(requests[pending.pop(0)]))
+        for c in eng.step():
+            done[c.rid] = c
+        chunk += 1
+        assert chunk < 300
+    for rid in range(6):
+        want = np.full_like(done[rid].tokens, gen_cfg.pad_token_id)
+        got_ref = ref[rid][1:]
+        want[: len(got_ref)] = got_ref
+        np.testing.assert_array_equal(done[rid].tokens, want, err_msg=str(rid))
+    assert eng.stats["compactions"] >= 1, eng.stats
+
+
+def test_engine_t5_rejects_oversized_prompt(t5_world):
+    cfg, model, variables, make_request = t5_world
+    gen_cfg = GenerationConfig(
+        max_new_tokens=4, pad_token_id=cfg.text_config.pad_token_id
+    )
+    eng = ContinuousBatchingEngine(
+        model, variables, gen_cfg, max_slots=1, max_len=12,
+        chunk_tokens=2, prefill_bucket=8, max_prompt_len=8,
+    )
+    eng.submit(make_request(99))  # prompt is 14 tokens > max_prompt_len=8
+    with pytest.raises(ValueError, match="max_prompt_len"):
+        eng.step()
+
+
 def test_engine_rejects_oversized_prompt(world):
     cfg, model, variables, make_request = world
     gen_cfg = GenerationConfig(max_new_tokens=8, pad_token_id=1)
