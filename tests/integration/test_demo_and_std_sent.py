@@ -216,3 +216,32 @@ def test_get_vision_model_embs_cli(checkpoint, tmp_path):
     index = json.load(open(prefix + "_index.json"))
     assert embs.shape == (3, 16)  # tiny vision hidden
     assert index == ["v0|0", "v1|0", "v2|0"]
+
+
+def test_video_blip_demo_lavis_spec_and_gating():
+    """The LAVIS backend option (reference video_blip_demo.py:229-252):
+    spec parsing is exact, and without the optional lavis package the
+    backend exits with an actionable message instead of a stack trace."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "video_blip_demo", os.path.join(REPO, "demo", "video_blip_demo.py")
+    )
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    assert demo.parse_lavis_spec("lavis:blip2_vicuna_instruct:vicuna7b") == (
+        "blip2_vicuna_instruct", "vicuna7b",
+    )
+    for bad in ("lavis:name", "hf:name:type", "lavis::type", "lavis:name:"):
+        with pytest.raises(ValueError, match="lavis:<name>:<model_type>"):
+            demo.parse_lavis_spec(bad)
+
+    try:
+        import lavis  # noqa: F401
+
+        pytest.skip("lavis installed; gating path not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(SystemExit, match="salesforce-lavis"):
+        demo.LavisChat("lavis:blip2_vicuna_instruct:vicuna7b", "some-llm")
