@@ -62,6 +62,7 @@ def world(tmp_path_factory):
     return model, {"params": params}, tokenizer, train, eval_ds, kw
 
 
+@pytest.mark.slow
 def test_vision_cache_predictions_identical(world):
     model, variables, tokenizer, train, eval_ds, kw = world
 

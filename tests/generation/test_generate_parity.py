@@ -177,6 +177,7 @@ def test_sampling_runs_and_respects_vocab(opt_setup):
     assert (out >= 0).all() and (out < cfg.text_config.vocab_size).all()
 
 
+@pytest.mark.slow
 def test_t5_greedy_token_identical():
     model, cfg, params = make_oracle("t5")
     rng = np.random.default_rng(9)
@@ -209,6 +210,7 @@ def test_t5_greedy_token_identical():
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
 
 
+@pytest.mark.slow
 def test_classify_matches_full_forward(opt_setup):
     """classify == mean log-likelihood computed from a full prompt+class forward.
 
@@ -281,6 +283,7 @@ def test_classify_matches_full_forward(opt_setup):
             np.testing.assert_allclose(ll[bi, ci], expected, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_t5_beam_token_identical():
     model, cfg, params = make_oracle("t5")
     rng = np.random.default_rng(13)
@@ -316,6 +319,7 @@ def test_t5_beam_token_identical():
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
 
 
+@pytest.mark.slow
 def test_classify_seq2seq_matches_full_forward():
     """Seq2seq classify (additive: the reference asserts decoder-only,
     v2.py:351): shared-encoder class scoring == the HF-parity-tested full

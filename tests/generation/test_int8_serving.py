@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eilev_tpu import configs
 from eilev_tpu.generation import GenerationConfig, generate
@@ -87,6 +88,7 @@ def test_quantized_tree_matches_init_structure():
     assert got_paths == want_paths
 
 
+@pytest.mark.slow
 def test_int8_generate_runs_and_tracks_bf16():
     cfg, model, qmodel, params, qparams, ids, pixel, vim = _tiny_models()
     gen_cfg = GenerationConfig(max_new_tokens=5, pad_token_id=1)
@@ -122,6 +124,7 @@ def test_int8_generate_runs_and_tracks_bf16():
     assert cos > 0.999, cos
 
 
+@pytest.mark.slow
 def test_w8a8_prefill_dispatch_and_generate():
     """w8a8_prefill: same {w8, scale, bias} params serve two program forms —
     prefill (rows >= threshold) on the int8 x int8 MXU path, decode (batch
@@ -173,6 +176,7 @@ def test_w8a8_prefill_dispatch_and_generate():
     assert (out >= 0).all() and (out < cfg.text_config.vocab_size).all()
 
 
+@pytest.mark.slow
 def test_int8_qformer_tracks_fp32():
     """W8A8 Q-Former serving mode: quantized subtree matches the flagged
     init structure and the video features track the fp32 features."""
@@ -209,6 +213,7 @@ def test_int8_qformer_tracks_fp32():
     assert cos > 0.99, cos
 
 
+@pytest.mark.slow
 def test_int8_kv_classify_tracks_fp32():
     """classify/score_with_prefix with an int8 prompt cache (round 4: closes
     the icl_eval serving gap — the class continuations read the shared cache

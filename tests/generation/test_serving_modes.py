@@ -6,6 +6,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eilev_tpu import configs
 from eilev_tpu.generation import GenerationConfig, generate
@@ -31,6 +32,7 @@ def _setup(dtype):
     return cfg, model, params, ids, pixel, vim
 
 
+@pytest.mark.slow
 def test_bf16_generation_runs_and_is_valid():
     """bf16 serving config: same shapes, valid tokens, deterministic."""
     cfg, model, params, ids, pixel, vim = _setup(jnp.bfloat16)

@@ -14,6 +14,9 @@ from eilev_tpu.models import opt as opt_mod
 from eilev_tpu.models.video_blip import VideoBlipForConditionalGeneration as VB
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 @pytest.fixture(scope="module")
 def tiny():
     cfg = configs.tiny_config(text_model="opt", layers=4)

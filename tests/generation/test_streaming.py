@@ -51,6 +51,7 @@ def test_stream_matches_generate_greedy(chunk):
     np.testing.assert_array_equal(streamed[:, : ref.shape[1]], ref[:, :n][:, : streamed.shape[1]])
 
 
+@pytest.mark.slow
 def test_stream_matches_generate_sampling():
     cfg, model, variables, ids, pixel, vim = _setup()
     gen_cfg = GenerationConfig(

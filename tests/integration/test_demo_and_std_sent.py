@@ -12,6 +12,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 @pytest.fixture(scope="module")
 def checkpoint(tmp_path_factory):
     from tests.models.hf_util import make_oracle

@@ -18,6 +18,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def _run(args, **env_extra):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

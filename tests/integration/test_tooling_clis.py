@@ -11,6 +11,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+pytestmark = pytest.mark.slow  # CLI integration chain
+
+
 def _run(args):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(

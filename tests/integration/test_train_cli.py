@@ -13,6 +13,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 @pytest.fixture(scope="module")
 def world(tmp_path_factory):
     import imageio.v3 as iio

@@ -9,6 +9,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # CLI integration chain
+
+
 def _write_frames(root, rows):
     root.mkdir(parents=True, exist_ok=True)
     for r in rows:

@@ -97,6 +97,7 @@ def _tiny_int8kv_model():
     return cfg, VB(cfg)
 
 
+@pytest.mark.slow
 def test_int8_cache_decode_close_to_bf16():
     """One prefill + one decode step with the int8 cache (CPU fallback path =
     materialized dequant, same math as the kernel): logits stay close to the
@@ -133,7 +134,11 @@ def test_int8_cache_decode_close_to_bf16():
     )
 
 
-def test_int8_cache_classify_raises():
+def test_int8_cache_classify_scores_finite():
+    """Round 4: score_with_prefix READS int8 prompt caches (was a
+    NotImplementedError guard); numeric agreement with the fp32 cache is
+    covered by tests/generation/test_int8_serving.py — here just prove the
+    dequant read path produces finite scores end to end."""
     cfg, model = _tiny_int8kv_model()
     rng = np.random.default_rng(4)
     ids = jnp.asarray(rng.integers(4, cfg.text_config.vocab_size, size=(1, 6)))
@@ -147,11 +152,11 @@ def test_int8_cache_classify_raises():
     cls = model.apply(
         {"params": params}, jnp.zeros((1, 2, 3), jnp.int32), method=VB.lm_embed
     )
-    with pytest.raises(NotImplementedError, match="int8_kv_cache"):
-        model.apply(
-            {"params": params}, cls, jnp.ones((1, 2, 3), jnp.int32), cache,
-            method=VB.lm_score_with_prefix,
-        )
+    logits = model.apply(
+        {"params": params}, cls, jnp.ones((1, 2, 3), jnp.int32), cache,
+        method=VB.lm_score_with_prefix,
+    )
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
 
 
 def test_gqa_kernel_matches_dequant_reference():
@@ -187,6 +192,7 @@ def test_gqa_kernel_matches_dequant_reference():
     )
 
 
+@pytest.mark.slow
 def test_llama_int8_cache_decode_close_to_bf16():
     """TextLM-role LLaMA with int8_kv_cache: greedy decode logits stay close
     to the bf16-cache path (CPU fallback = materialized dequant)."""

@@ -76,6 +76,7 @@ def test_random_horizontal_flip():
     np.testing.assert_array_equal(np.asarray(same), np.asarray(v))
 
 
+@pytest.mark.slow
 def test_rand_augment_valid_range_and_determinism():
     rng = np.random.default_rng(3)
     v = jnp.asarray(rng.integers(0, 256, size=(3, 2, 16, 16)).astype(np.uint8))

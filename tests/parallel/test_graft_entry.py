@@ -11,6 +11,9 @@ sys.path.insert(0, ".")
 import __graft_entry__ as graft
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def test_entry_compiles_and_runs():
     fn, args = graft.entry()
     loss = float(jax.jit(fn)(*args))

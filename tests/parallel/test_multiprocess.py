@@ -15,6 +15,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_mp_worker.py")
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

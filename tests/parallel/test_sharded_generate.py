@@ -14,6 +14,11 @@ from eilev_tpu.models import VideoBlipForConditionalGeneration
 from eilev_tpu.parallel import make_mesh
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def test_data_sharded_generate_matches_replicated():
     cfg = configs.tiny_config(text_model="opt")
     model = VideoBlipForConditionalGeneration(cfg)

@@ -22,6 +22,9 @@ from eilev_tpu.models import VideoBlipForConditionalGeneration
 from eilev_tpu.parallel import make_mesh, shard_variables_for_inference
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def _build(text_model: str):
     cfg = configs.tiny_config(text_model=text_model, hidden=32, heads=4)
     model = VideoBlipForConditionalGeneration(cfg)

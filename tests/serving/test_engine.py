@@ -80,6 +80,7 @@ def test_engine_batch_matches_isolated_generate(world):
         np.testing.assert_array_equal(completion.tokens, ref[rid], err_msg=str(rid))
 
 
+@pytest.mark.slow
 def test_engine_staggered_arrivals_match(world):
     """Requests arriving mid-decode (different chunks, reused slots) still
     reproduce the isolated outputs exactly."""
@@ -127,6 +128,7 @@ def test_engine_session_flush_and_reset(world):
         np.testing.assert_array_equal(done[rid].tokens, ref[rid], err_msg=str(rid))
 
 
+@pytest.mark.slow
 def test_engine_rolling_compaction_no_drain(world):
     """Round 4: cache pressure triggers COMPACTION (uniform left-shift of the
     dead prefix), not a drain — outputs stay token-identical, at least one
@@ -188,6 +190,7 @@ def t5_world():
     return cfg, model, {"params": params}, make_request
 
 
+@pytest.mark.slow
 def test_engine_t5_batch_matches_isolated_generate(t5_world):
     """Round 4: the encoder-decoder family serves through the same scheduler.
     Engine completions are the NEW tokens (isolated seq2seq generate prepends
@@ -213,6 +216,7 @@ def test_engine_t5_batch_matches_isolated_generate(t5_world):
         np.testing.assert_array_equal(completion.tokens, want, err_msg=str(rid))
 
 
+@pytest.mark.slow
 def test_engine_t5_staggered_and_compaction(t5_world):
     """Staggered T5 arrivals with a tight decoder cache: outputs stay exact
     through slot reuse and rolling compaction (relative bias is translation-
@@ -279,6 +283,7 @@ def test_engine_rejects_oversized_prompt(world):
         eng.step()
 
 
+@pytest.mark.slow
 def test_engine_tensor_parallel_matches(world):
     """The engine under tensor-parallel sharded weights (parallel/mesh.py:
     shard_variables_for_inference) reproduces the isolated outputs exactly —

@@ -64,6 +64,7 @@ def _reference(model, variables, gen_cfg, ids, pixel, vim):
     return out[:m]
 
 
+@pytest.mark.slow
 def test_session_multi_turn_matches_generate(world):
     """Three turns — new text, then new video+text — every reply must equal a
     from-scratch generate on the cumulative prompt, with the prefix reused."""
@@ -178,6 +179,7 @@ def test_session_turn_stream_matches_turn(world):
         vim = np.concatenate([vim, np.zeros((len(ref),), vim.dtype)])
 
 
+@pytest.mark.slow
 def test_session_turn_stream_bf16_dtype_boundary(world):
     """bf16 model: the fp32 logits from the append prefill must re-enter the
     model-dtype _decode_chunk carry (regression: scan carry dtype mismatch)."""

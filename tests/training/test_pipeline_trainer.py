@@ -17,6 +17,9 @@ from eilev_tpu.training.trainer import Trainer, TrainerConfig
 from .test_train_step import _tiny_batch
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def _setup(text_model):
     cfg = configs.tiny_config(text_model=text_model, layers=4)
     model = VideoBlipForConditionalGeneration(cfg)

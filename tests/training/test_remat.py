@@ -19,6 +19,9 @@ from eilev_tpu.models import VideoBlipForConditionalGeneration
 from eilev_tpu.training import merge_params, partition_params
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def _data(cfg, text_model, b=2, seq=16, seed=0):
     rng = np.random.default_rng(seed)
     img = cfg.vision_config.image_size

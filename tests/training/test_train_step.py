@@ -22,6 +22,9 @@ from eilev_tpu.training import (
 )
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def _tiny_batch(cfg, accum, micro_b, videos_per_sample=1, seq=16, seed=0):
     rng = np.random.default_rng(seed)
     img = cfg.vision_config.image_size

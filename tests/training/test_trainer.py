@@ -12,6 +12,11 @@ from eilev_tpu.training.checkpoint import latest_checkpoint
 from eilev_tpu.training.trainer import Trainer, TrainerConfig
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def _make_batches(cfg, accum, micro_b, steps, seed):
     def gen(s):
         rng = np.random.default_rng(seed)

@@ -16,6 +16,9 @@ from eilev_tpu.training import OptimizerConfig
 from eilev_tpu.training.trainer import Trainer, TrainerConfig, shard_train_batch
 
 
+pytestmark = pytest.mark.slow  # heavy equivalence/integration chain
+
+
 def _fixed_batches(cfg, accum, micro_b, steps, seed=0):
     """Deterministic batch stream: same content regardless of the seed arg so
     two Trainers can be compared step for step."""
