@@ -130,6 +130,8 @@ class TextLM:
         rng=None,
         draft_layers: int = 0,
         draft_tokens: int = 4,
+        draft: Optional[str] = None,
+        draft_match_len: int = 3,
     ) -> list[str]:
         """``draft_layers > 0``: token-identical speculative greedy decoding
         with the target's first N layers self-drafting ``draft_tokens`` per
@@ -158,9 +160,36 @@ class TextLM:
         embeds = self.module.apply(
             self.variables, jnp.asarray(ids), method=_TextOnlyModule.embed_and_scatter
         )
+        if draft is not None and draft != "prompt_lookup":
+            raise ValueError(
+                f"unknown draft strategy {draft!r}; supported: 'prompt_lookup'"
+            )
         if gen_cfg.num_beams > 1:
             tokens = _beam_search_decoder_only(
                 self.module, self.variables, embeds, jnp.asarray(mask), gen_cfg
+            )
+        elif draft == "prompt_lookup" and not gen_cfg.do_sample:
+            # model-free speculative decoding (OPT and LLaMA share the cache
+            # contract); token-identical to plain greedy
+            if gen_cfg.has_logits_processors:
+                raise NotImplementedError(
+                    "speculative decoding implements plain greedy; drop "
+                    "draft='prompt_lookup' to use repetition_penalty/"
+                    "no_repeat_ngram_size/min_new_tokens"
+                )
+            from ..configs import OPTConfig as _OPTConfig
+            from ..models.llama import LlamaForCausalLM
+            from ..models.opt import OPTForCausalLM
+            from .speculative import build_lookup_corpus, prompt_lookup_greedy_decode
+
+            tcfg = self.config.text_config
+            cls = OPTForCausalLM if isinstance(tcfg, _OPTConfig) else LlamaForCausalLM
+            target = cls(tcfg, dtype=self.module.dtype)
+            corpus = build_lookup_corpus(jnp.asarray(ids), jnp.asarray(mask))
+            tokens = prompt_lookup_greedy_decode(
+                target, self.variables["params"]["language_model"], corpus,
+                embeds, jnp.asarray(mask), gen_cfg,
+                gamma=draft_tokens, match_len=draft_match_len,
             )
         elif draft_layers and not gen_cfg.do_sample:
             if gen_cfg.has_logits_processors:

@@ -202,3 +202,29 @@ def test_text_lm_int8_llama_runs(llama_checkpoint):
                          eos_token_id=(0,)),
     )
     assert len(texts) == 1 and isinstance(texts[0], str)
+
+
+def test_text_lm_prompt_lookup_matches_plain(opt_checkpoint, llama_checkpoint):
+    """draft='prompt_lookup' on TextLM is token-identical to plain greedy for
+    both decoder families (the decode fn is family-generic: OPT and LLaMA
+    share the cache contract)."""
+    import jax.numpy as jnp
+
+    from eilev_tpu.generation import GenerationConfig
+    from eilev_tpu.generation.text_lm import TextLM
+
+    prompts = [
+        "The camera wearer opens a drawer and takes a knife from the drawer",
+        "Question: What is the camera wearer doing? Answer: The camera wearer",
+    ]
+    for path, _ in (opt_checkpoint, llama_checkpoint):
+        lm = TextLM(path, dtype=jnp.float32)
+        cfg = GenerationConfig(
+            max_new_tokens=10, pad_token_id=lm.tokenizer.pad_token_id,
+            eos_token_id=(0,),
+        )
+        plain = lm.generate(prompts, cfg)
+        pld = lm.generate(prompts, cfg, draft="prompt_lookup", draft_tokens=6)
+        assert pld == plain
+        with pytest.raises(ValueError, match="prompt_lookup"):
+            lm.generate(prompts, cfg, draft="ngram_tree")
