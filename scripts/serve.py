@@ -53,6 +53,9 @@ def parse_args():
     p.add_argument("--max_len", type=int, default=2048)
     p.add_argument("--chunk_tokens", type=int, default=8)
     p.add_argument("--prefill_bucket", type=int, default=128)
+    p.add_argument("--max_prompt_len", type=int, default=2048,
+                   help="T5 engines: width of the per-slot cross-K/V buffers "
+                        "(seq2seq prompts never enter the shared self cache)")
     p.add_argument("--arrival_rate", type=float, default=0.0,
                    help="requests/sec (open loop, exponential gaps, seed "
                         "--random_seed); 0 = submit everything up front")
@@ -117,9 +120,9 @@ def main():
         variables = shard_variables_for_inference(variables, mesh)
         # Pallas kernels are single-device programs; the XLA path shards cleanly.
         set_default_attention_impl("xla")
+    # both families serve: OPT admits into the shared self cache, T5 into
+    # per-slot cross-K/V buffers (serving/engine.py round 4)
     decoder_only = config.use_decoder_only_language_model
-    if not decoder_only:
-        raise SystemExit("serve.py: continuous batching needs a decoder-only LM")
 
     def preprocess(datapoint):
         items = datapoint["items"]
@@ -192,6 +195,7 @@ def main():
         model, variables, gen_cfg,
         max_slots=args.max_slots, max_len=args.max_len,
         chunk_tokens=args.chunk_tokens, prefill_bucket=args.prefill_bucket,
+        max_prompt_len=args.max_prompt_len,
         vision_chunks=args.vision_chunks, feature_cache=feature_cache,
         feature_loader=feature_loader,
     )

@@ -303,6 +303,57 @@ def test_serve_cli_matches_static_generate(world, frames_dir, icl_map, gen_plain
     assert serve_rows == plain_rows
 
 
+def test_serve_cli_t5_matches_static_generate(world, frames_dir, icl_map, tmp_path):
+    """Round 4: the T5 family serves through scripts/serve.py too (per-slot
+    cross-K/V admission) — byte-identical to the static generate CLI."""
+    from tests.models.hf_util import make_oracle
+    from tests.util_tokenizer import build_tiny_tokenizer
+
+    ckpt = world / "checkpoint-t5"
+    if not ckpt.exists():
+        model, _, _ = make_oracle("t5", image_size=32, patch_size=16, vocab_size=384)
+        model.save_pretrained(str(ckpt), safe_serialization=True)
+        build_tiny_tokenizer(str(ckpt), vocab_size=384)
+
+    plain_csv = str(world / "gen-plain-t5.csv")
+    _run(
+        [
+            "scripts/generate_narration_texts.py",
+            "--model", str(ckpt),
+            "--dtype", "fp32",
+            "--eval_frames_dir", str(frames_dir),
+            "--in_context_query_map_file", icl_map,
+            "--in_context_example_frames_dir", str(frames_dir),
+            "--batch_size", "2",
+            "--num_eval_datapoints", "2",
+            "--generation_config", '{"max_new_tokens": 4}',
+            "--output_csv", plain_csv,
+        ]
+    )
+    out_csv = str(world / "serve-t5.csv")
+    _run(
+        [
+            "scripts/serve.py",
+            "--model", str(ckpt),
+            "--dtype", "fp32",
+            "--eval_frames_dir", str(frames_dir),
+            "--in_context_query_map_file", icl_map,
+            "--in_context_example_frames_dir", str(frames_dir),
+            "--num_eval_datapoints", "2",
+            "--max_new_tokens", "4",
+            "--max_slots", "2",
+            "--max_len", "32",
+            "--chunk_tokens", "2",
+            "--prefill_bucket", "32",
+            "--max_prompt_len", "128",
+            "--output_csv", out_csv,
+        ]
+    )
+    serve_rows = {r["frame_path"]: r["generated"] for r in csv.DictReader(open(out_csv))}
+    plain_rows = {r["frame_path"]: r["generated"] for r in csv.DictReader(open(plain_csv))}
+    assert serve_rows == plain_rows
+
+
 def test_serve_cli_vision_cache_matches(world, frames_dir, icl_map, gen_plain_csv):
     """serve.py --vision_cache (lazy frame loading through the engine's
     feature loader) stays byte-identical to the static generate CLI."""
