@@ -141,6 +141,31 @@ def test_unknown_draft_rejected(tiny):
         _generate(tiny, 4, draft="tree_attention")
 
 
+def test_int8_kv_compose(tiny):
+    """prompt_lookup over an int8 KV cache: identical to int8-KV plain greedy
+    (the rollback only touches mask/pos/index; quantized rows + scales stay
+    in place behind the mask)."""
+    import dataclasses
+
+    from eilev_tpu import configs
+
+    cfg, model, params, ids, mask, pixel, vim = tiny
+    kcfg = configs.replace(
+        cfg, text_config=dataclasses.replace(cfg.text_config, int8_kv_cache=True)
+    )
+    kmodel = VB(kcfg)
+    kw = dict(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+        pixel_values=jnp.asarray(pixel), video_input_mask=jnp.asarray(vim),
+        generation_config=GenerationConfig(
+            max_new_tokens=8, pad_token_id=cfg.text_config.pad_token_id
+        ),
+    )
+    plain = np.asarray(generate(kmodel, {"params": params}, **kw))
+    pld = np.asarray(generate(kmodel, {"params": params}, draft="prompt_lookup", **kw))
+    np.testing.assert_array_equal(plain, pld)
+
+
 def test_stats_acceptance(tiny):
     """Echo corpus accepts >1 token/verify-pass; garbage corpus exactly 1."""
     from eilev_tpu.generation.speculative import prompt_lookup_greedy_decode
