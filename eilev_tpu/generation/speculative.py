@@ -210,6 +210,66 @@ def speculative_greedy_decode(
 # ---------------------------------------------------------------------------
 
 
+def lookup_drafts_rows(
+    corpus: jax.Array,
+    end: jax.Array,
+    gamma: int,
+    match_len: int,
+    pad: int,
+    vocab: Optional[int] = None,
+) -> jax.Array:
+    """(B, gamma) proposed continuations of each row's emitted tail.
+
+    ``corpus``: (B, CL) int32, invalid positions -1 (see
+    :func:`build_lookup_corpus`); ``end``: (B,) int32 — each row's first
+    invalid position (prompt + emitted-so-far length). HF prompt-lookup
+    semantics, vectorized per row: descending n-gram size from ``match_len``,
+    first size with a match wins, FIRST occurrence at that size (first — not
+    most-recent — because greedy text contains token runs, and the most
+    recent occurrence of a run token sits at the run's END while the current
+    position may be at its start; measured 2.0 -> 8.0 tokens/pass on the echo
+    corpus, benchmarks/prompt_lookup_bench.py). Rows with no match (or
+    masked -1 positions inside the gathered window) propose ``pad``, which a
+    verify pass only ever accepts if the target truly emits pad.
+
+    Shared by the static decode path (:func:`prompt_lookup_greedy_decode`,
+    uniform ``end`` across rows) and the continuous-batching engine
+    (serving/engine.py, per-slot ``end``).
+    """
+    b, cl = corpus.shape
+    found = jnp.zeros((b,), bool)
+    start = jnp.zeros((b,), jnp.int32)
+    for k in range(match_len, 0, -1):
+        tail = jax.vmap(
+            lambda row, e: jax.lax.dynamic_slice(row, (e - k,), (k,))
+        )(corpus, end)  # (B, k) — the last k valid tokens of each row
+        nwin = cl - k
+        match = jnp.ones((b, nwin), bool)
+        for j in range(k):
+            match = match & (corpus[:, j : j + nwin] == tail[:, j : j + 1])
+        widx = jax.lax.broadcasted_iota(jnp.int32, (b, nwin), 1)
+        # window [i, i+k) must sit fully inside the valid region AND have at
+        # least one valid continuation token (i + k < end); this also excludes
+        # the trivial self-match of the tail with itself
+        ok = match & (widx + k < end[:, None])
+        has_k = jnp.any(ok, axis=1)
+        best_k = jnp.min(jnp.where(ok, widx, cl), axis=1)  # first occurrence
+        take = has_k & ~found
+        start = jnp.where(take, best_k + k, start)
+        found = found | has_k
+    drafts = jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice_in_dim(row, st, gamma)
+    )(corpus, start)
+    ok = found[:, None] & (drafts >= 0)
+    if vocab is not None:
+        # a wider caller-provided corpus may contain out-of-vocab ids; an
+        # out-of-vocab token in the verify block embeds to NaN, and NaN k/v
+        # poison the softmax of EVERY query past the causal bias (-inf + NaN
+        # = NaN) — so invalid proposals must never reach the verifier
+        ok = ok & (drafts < vocab)
+    return jnp.where(ok, drafts, pad)
+
+
 def build_lookup_corpus(
     input_ids: jax.Array,
     attention_mask: Optional[jax.Array] = None,
@@ -300,42 +360,14 @@ def prompt_lookup_greedy_decode(
         return model.apply({"params": lm_params}, tok, method=type(model).embed)
 
     def lookup_drafts(out, n_emitted):
-        """(B, gamma) proposed continuations of the emitted tail."""
+        """(B, gamma) proposed continuations of the emitted tail (shared
+        matcher :func:`lookup_drafts_rows`; every row's end is the same here
+        because the static path advances all rows in lockstep)."""
         corpus = jnp.concatenate([prompt_corpus, out], axis=1)  # (B, corpus_len)
-        end = p_len + n_emitted  # first invalid position (same for every row)
-        found = jnp.zeros((b,), bool)
-        start = jnp.zeros((b,), jnp.int32)
-        # try the longest tail first (HF prompt-lookup semantics: descending
-        # n-gram size, first size with a match wins, FIRST occurrence at that
-        # size). First — not most-recent — matters: greedy continuations
-        # contain token runs, and the most recent occurrence of a run token
-        # sits at the END of its run (continuation leaves the run) while the
-        # current position may be at its start; the first occurrence aligns
-        # with the sequence prefix. Measured: echo-corpus acceptance 2.0 ->
-        # 8.0 tokens/pass at gamma=8 (benchmarks/prompt_lookup_bench.py).
-        for k in range(match_len, 0, -1):
-            tail = jax.lax.dynamic_slice(corpus, (0, end - k), (b, k))  # (B, k)
-            nwin = corpus_len - k
-            match = jnp.ones((b, nwin), bool)
-            for j in range(k):
-                match = match & (corpus[:, j : j + nwin] == tail[:, j : j + 1])
-            widx = jax.lax.broadcasted_iota(jnp.int32, (b, nwin), 1)
-            # window [i, i+k) must sit fully inside the emitted region AND
-            # have at least one valid continuation token (i + k < end); this
-            # also excludes the trivial self-match of the tail with itself
-            ok = match & (widx + k < end)
-            has_k = jnp.any(ok, axis=1)
-            best_k = jnp.min(jnp.where(ok, widx, corpus_len), axis=1)  # first
-            take = has_k & ~found
-            start = jnp.where(take, best_k + k, start)
-            found = found | has_k
-        drafts = jax.vmap(
-            lambda row, st: jax.lax.dynamic_slice_in_dim(row, st, gamma)
-        )(corpus, start)
-        # no match, or -1 (masked) positions inside the gathered window:
-        # propose pad — never accepted unless the target truly emits pad
-        drafts = jnp.where(found[:, None] & (drafts >= 0), drafts, pad)
-        return drafts
+        end = jnp.full((b,), p_len + n_emitted, jnp.int32)
+        return lookup_drafts_rows(
+            corpus, end, gamma, match_len, pad, vocab=model.config.vocab_size
+        )
 
     def cond(carry):
         n_emitted, _, _, finished, _ = carry

@@ -44,6 +44,16 @@ carries). One prompt *geometry* (number of videos) per engine — the EILeV
 serving workload is a fixed 16-shot+query prompt (reference
 slurm-scripts/README.md:71-76), which is exactly this shape.
 
+Speculative serving (round 4): ``speculative="prompt_lookup"`` replaces the
+chunked decode with PER-SLOT prompt-lookup speculative passes — each slot
+drafts from its own prompt+emitted corpus and advances by its OWN accepted
+length (the static speculative path is capped at the min over rows; the
+engine's per-row masks + per-row ``pos`` lift that cap). Rejected draft
+positions become mask-gated holes in the shared cache; cache pressure is
+handled by the compact -> plain-decode -> evict-and-recompute ladder
+(_spec_step). Outputs stay token-identical to isolated greedy ``generate``
+(tests/serving/test_engine_spec.py).
+
 T5 (round 4): the encoder-decoder family serves through the same scheduler.
 Its shape is FRIENDLIER than OPT's: the prompt lives in per-slot cross-K/V
 buffers (admission = one encoder pass + a row splice, never touching the
@@ -70,6 +80,7 @@ import numpy as np
 from ..configs import OPTConfig, T5Config
 from ..generation.config import GenerationConfig
 from ..generation.decoding import _decode_chunk, _is_eos, _select_token
+from ..generation.speculative import lookup_drafts_rows
 from ..models import opt as opt_mod
 from ..models.video_blip import VideoBlipForConditionalGeneration as VB
 
@@ -88,6 +99,12 @@ class Request:
     # per-video identities (len V, e.g. frame_paths) for the engine's optional
     # VideoFeatureCache; ignored when the engine has no cache
     feature_keys: Optional[Sequence[Hashable]] = None
+    # extra reference tokens for the speculative lookup corpus (e.g. the
+    # in-context example narrations) — the engine-side analogue of passing a
+    # wider corpus to generation.speculative.prompt_lookup_greedy_decode.
+    # Never fed to the model; only the matcher sees them. Truncated to the
+    # engine's ``spec_extra_corpus`` budget; ignored without speculation.
+    extra_corpus: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -235,6 +252,144 @@ def _decode_chunk_t5(
     return cache, next_tok, finished, rng, toks.T  # (slots, chunk)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gen_cfg", "gamma", "match_len"),
+    donate_argnums=(2, 3, 5),
+)
+def _spec_chunk(
+    model: VB,
+    variables,
+    cache,
+    logits: jax.Array,  # (slots, vocab) last-step logits (same state as _decode_chunk)
+    finished: jax.Array,  # (slots,) bool
+    corpus: jax.Array,  # (slots, CL) int32, invalid positions -1
+    corpus_end: jax.Array,  # (slots,) int32 — first invalid position per row
+    gen_cfg: GenerationConfig,
+    gamma: int,
+    match_len: int,
+):
+    """One PER-SLOT prompt-lookup speculative pass over the shared cache.
+
+    The static speculative path (generation/speculative.py) advances every
+    row by the MINIMUM acceptance over the batch — its cache keeps one scalar
+    fill index, so rows cannot diverge. The engine's cache is per-row-masked
+    with per-row ``pos`` (attended-token counts), which is exactly what
+    variable acceptance needs: the verify block [pending, d_1..d_gamma] is
+    appended at the shared index for every row, each row computes its OWN
+    accepted length, and the rejected suffix of its window is simply
+    mask-zeroed — a per-row HOLE in the cache that attention never sees
+    (the same mechanism that makes left-padded admission exact). ``pos``
+    rolls back per row, so OPT position embeddings stay correct across holes.
+
+    Emits ``[pending, d_1..d_a]`` per row (``a`` = that row's accepted
+    length; ``pending`` is the token the last pass's logits predicted, the
+    exact analogue of _decode_chunk's logits-in contract) and returns the
+    row's post-acceptance logits, whose argmax is the correction token —
+    token-identical to plain greedy by construction, per row, with NO
+    min-over-rows coupling. Cost: holes burn cache (index advances gamma+1
+    per pass regardless of acceptance); the engine's pressure ladder
+    (compact -> plain-decode fallback -> evict & recompute) bounds that.
+
+    Returns (cache, logits, finished, corpus, corpus_end, emit, n_emit):
+    ``emit`` (slots, gamma+1) pad-filled after each row's count ``n_emit``.
+    """
+    slots, _ = logits.shape
+    pad = gen_cfg.pad_token_id
+    active = ~finished
+
+    pending = _select_token(logits, gen_cfg, None)  # greedy argmax per row
+    pending = jnp.where(finished, pad, pending)
+
+    # corpus: the pending token joins each row's emitted tail before drafting
+    corpus = jax.vmap(
+        lambda row, tok, e: jax.lax.dynamic_update_slice(row, tok, (e,))
+    )(corpus, pending[:, None], corpus_end)
+    end2 = corpus_end + active.astype(jnp.int32)
+
+    drafts = lookup_drafts_rows(
+        corpus, end2, gamma, match_len, pad,
+        vocab=model.config.text_config.vocab_size,
+    )
+    block = jnp.concatenate([pending[:, None], drafts], axis=1)  # (slots, g+1)
+
+    # verify: ONE multi-token append pass (the single-step weight stream
+    # amortized over gamma+1 queries). Finished/inactive rows append with
+    # mask 0 — nothing written to their live window, pos untouched.
+    embeds = model.apply(variables, block, method=VB.lm_embed)
+    attn_mask = jnp.broadcast_to(
+        active[:, None], (slots, gamma + 1)
+    ).astype(jnp.int32)
+    v_logits, cache = model.apply(
+        variables, embeds, attention_mask=attn_mask, cache=cache,
+        cache_append=True, method=VB.lm_forward,
+    )
+    targets = jnp.argmax(v_logits, -1).astype(jnp.int32)  # (slots, g+1)
+    agree = drafts == targets[:, :gamma]
+    a_row = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)
+
+    # emissions: [pending, d_1..d_a], eos-capped per row
+    col = jax.lax.broadcasted_iota(jnp.int32, (slots, gamma + 1), 1)
+    valid = (col <= a_row[:, None]) & active[:, None]
+    hits = _is_eos(block, gen_cfg) & valid
+    first_eos = jnp.min(jnp.where(hits, col, gamma + 1), axis=1)
+    n_emit = jnp.where(active, jnp.minimum(a_row, first_eos) + 1, 0)
+    emit = jnp.where(col < n_emit[:, None], block, pad)
+    new_finished = finished | (first_eos <= a_row)
+
+    # cache fixups: zero each row's rejected suffix [index0+a+1, index0+g+1)
+    # (the hole) and roll pos back by the rejected count. Rows that appended
+    # with mask 0 wrote zeros there already — the extra zeroing is a no-op.
+    index0 = cache["index"] - (gamma + 1)
+    keep = a_row + 1
+    slot_iota = jax.lax.broadcasted_iota(
+        jnp.int32, cache["mask"].shape, 1
+    )  # (slots, max_len)
+    reject = (
+        (slot_iota >= index0 + keep[:, None])
+        & (slot_iota < index0 + gamma + 1)
+        & active[:, None]
+    )
+    cache = dict(cache)
+    cache["mask"] = jnp.where(reject, 0, cache["mask"])
+    cache["pos"] = cache["pos"] - jnp.where(active, gamma - a_row, 0)
+
+    # logits-out: the prediction after each row's accepted prefix — its
+    # argmax is the correction token, emitted as the NEXT pass's pending
+    new_logits = jnp.take_along_axis(
+        v_logits, a_row[:, None, None], axis=1
+    )[:, 0].astype(logits.dtype)
+
+    # corpus: append the drafts tile; only the accepted prefix counts as
+    # valid (garbage beyond each row's end is overwritten by later passes
+    # and excluded from matching by the end bound)
+    corpus = jax.vmap(
+        lambda row, tile, e: jax.lax.dynamic_update_slice(row, tile, (e,))
+    )(corpus, drafts, end2)
+    corpus_end = end2 + jnp.where(active, n_emit - 1, 0)
+
+    return cache, new_logits, new_finished, corpus, corpus_end, emit, n_emit
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_corpus_row(corpus, row, slot):
+    """Reset one slot's lookup-corpus row at admission (donated in-place)."""
+    return jax.lax.dynamic_update_slice(corpus, row, (slot, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_corpus(corpus, corpus_end, toks, active):
+    """Append a plain-decode chunk's tokens to each active row's corpus (the
+    pressure-fallback path mixes plain chunks between speculative passes;
+    post-eos pads on rows finishing mid-chunk are harmless — finished rows
+    never draft again and their corpus row resets at the next admission)."""
+    chunk = toks.shape[1]
+    corpus = jax.vmap(
+        lambda row, tile, e: jax.lax.dynamic_update_slice(row, tile, (e,))
+    )(corpus, toks.astype(jnp.int32), corpus_end)
+    return corpus, corpus_end + jnp.where(active, chunk, 0)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _compact_cache(cache, delta: jax.Array):
     """Shift the shared cache left by ``delta`` positions (uniform across
@@ -290,6 +445,10 @@ class ContinuousBatchingEngine:
         vision_chunks: int = 1,
         feature_cache: Optional["VideoFeatureCache"] = None,
         feature_loader: Optional[Callable[[Hashable], np.ndarray]] = None,
+        speculative: Optional[str] = None,
+        spec_gamma: int = 8,
+        spec_match_len: int = 3,
+        spec_extra_corpus: int = 0,
     ):
         if feature_loader is not None and feature_cache is None:
             raise ValueError("feature_loader requires feature_cache")
@@ -330,6 +489,26 @@ class ContinuousBatchingEngine:
                 model.config.text_config.eos_token_id
             )
         self.gen_cfg = generation_config
+        if speculative is not None:
+            if speculative != "prompt_lookup":
+                raise ValueError(
+                    f"unknown speculative mode {speculative!r}; "
+                    "supported: 'prompt_lookup'"
+                )
+            if self._is_t5:
+                raise NotImplementedError(
+                    "speculative serving is decoder-only: the T5 decode path "
+                    "has no multi-token cache-append verify (t5_decode_step "
+                    "is token-in/logits-out)"
+                )
+            if generation_config.do_sample:
+                raise NotImplementedError(
+                    "speculative serving implements greedy only"
+                )
+        self._spec = speculative
+        self.spec_gamma = spec_gamma
+        self.spec_match_len = spec_match_len
+        self.spec_extra_corpus = spec_extra_corpus
         self.max_prompt_len = max_prompt_len
         self.max_slots = max_slots
         self.max_len = max_len
@@ -345,8 +524,20 @@ class ContinuousBatchingEngine:
         self._queue: deque[Request] = deque()
         self._next_rid = 0
         self._chunk_count = 0
-        #: observability: cache-pressure events (serve.py reports these)
-        self.stats = {"compactions": 0, "resets": 0}
+        #: observability: cache-pressure + speculation counters (serve.py
+        #: reports these; spec_tokens/spec_rows = realized tokens/pass)
+        self.stats = {
+            "compactions": 0,
+            "resets": 0,
+            "spec_passes": 0,
+            "spec_tokens": 0,
+            "spec_rows": 0,
+            "spec_fallback_chunks": 0,
+            "evictions": 0,
+        }
+        # emissions carried across an eviction (rid -> tokens already emitted);
+        # restored when the continuation request re-admits
+        self._carry_emitted: dict[int, list[int]] = {}
         self._reset_state()
 
     # ------------------------------------------------------------------
@@ -377,6 +568,8 @@ class ContinuousBatchingEngine:
                 self._admit_pending()
             if not any(self._active):
                 return []
+        if self._spec is not None:
+            return self._spec_step()
         if self._is_t5:
             (
                 self._cache, self._next_tok, self._finished, self._rng, toks
@@ -442,10 +635,149 @@ class ContinuousBatchingEngine:
                 tcfg, self.max_slots, self.max_len, dtype=self._dtype
             )
             self._logits = jnp.zeros((self.max_slots, tcfg.vocab_size), self._dtype)
+        if self._spec is not None:
+            cl = self.max_len + self.spec_extra_corpus + self.spec_gamma + 2
+            self._corpus = jnp.full((self.max_slots, cl), -1, jnp.int32)
+            self._corpus_end = jnp.zeros((self.max_slots,), jnp.int32)
         self._finished = jnp.ones((self.max_slots,), bool)  # inactive == finished
         self._active: list[Optional[Request]] = [None] * self.max_slots
         self._emitted: list[list[int]] = [[] for _ in range(self.max_slots)]
         self._admitted_chunk = [0] * self.max_slots
+
+    def _spec_step(self) -> list[Completion]:
+        """One per-slot prompt-lookup speculative pass (see _spec_chunk).
+
+        Admission reserves ``max_new_tokens`` of cache per request exactly as
+        plain decode does, but rejection holes make a speculative row's cache
+        SPAN exceed its token count, so the reservation is not a guarantee
+        here. The pressure ladder bounds it: compact the dead prefix; if a
+        gamma+1 window still does not fit, degrade to plain chunked decode
+        (no new holes); if even one token cannot fit, evict the
+        compaction-pinning row and recompute it (vLLM-style preemption — the
+        continuation request is token-identical because greedy prefill of
+        [prompt + emitted] resumes the same deterministic continuation the
+        left-padding-invariant decode would have produced).
+        """
+        g = self.spec_gamma
+        if int(self._cache["index"]) + g + 1 > self.max_len:
+            self._compact()
+        if int(self._cache["index"]) + g + 1 > self.max_len:
+            return self._pressure_step()
+        (
+            self._cache, self._logits, self._finished,
+            self._corpus, self._corpus_end, emit, n_emit,
+        ) = _spec_chunk(
+            self.model, self.variables, self._cache, self._logits,
+            self._finished, self._corpus, self._corpus_end, self.gen_cfg,
+            g, self.spec_match_len,
+        )
+        self._chunk_count += 1
+        n_emit_np = np.asarray(n_emit)
+        self.stats["spec_passes"] += 1
+        self.stats["spec_tokens"] += int(n_emit_np.sum())
+        self.stats["spec_rows"] += int((n_emit_np > 0).sum())
+        return self._harvest(
+            np.asarray(emit), np.asarray(self._finished), n_valid=n_emit_np
+        )
+
+    def _pressure_step(self) -> list[Completion]:
+        """Speculative cache-pressure fallback: plain decode, then eviction."""
+        idx = int(self._cache["index"])
+        for chunk in (self.chunk_tokens, 1):
+            if idx + chunk <= self.max_len:
+                finished_before = np.asarray(self._finished)
+                (
+                    self._cache, self._logits, self._finished, self._rng, toks
+                ) = _decode_chunk(
+                    self.model, self.variables, self._cache, self._logits,
+                    self._finished, self.gen_cfg, self._rng, chunk,
+                )
+                self._chunk_count += 1
+                self.stats["spec_fallback_chunks"] += 1
+                self._corpus, self._corpus_end = _append_corpus(
+                    self._corpus, self._corpus_end, toks,
+                    jnp.asarray(~finished_before),
+                )
+                return self._harvest(np.asarray(toks), np.asarray(self._finished))
+        if self._evict_one():
+            self._compact()
+            return self.step()
+        # _spec_step only runs with active rows, so reaching here means every
+        # active row's continuation could never re-admit — a sizing error
+        raise RuntimeError(
+            f"speculative serving deadlock: cache index "
+            f"{int(self._cache['index'])} cannot fit one more token in "
+            f"max_len={self.max_len} and no active request's continuation "
+            f"would fit a fresh session; raise max_len or lower spec_gamma"
+        )
+
+    def _evict_one(self) -> bool:
+        """Evict the active row pinning compaction (min live start) and
+        requeue it as a continuation request carrying its emissions —
+        recompute-style preemption. Skips rows whose continuation prompt
+        could never re-admit (so the engine raises no surprise errors)."""
+        index = int(self._cache["index"])
+        mask_np = np.asarray(self._cache["mask"])[:, :index]
+        victims = sorted(
+            (
+                int(np.argmax(mask_np[slot])) if mask_np[slot].any() else index,
+                slot,
+            )
+            for slot, req in enumerate(self._active)
+            if req is not None
+        )
+        b = self.prefill_bucket
+        for _, slot in victims:
+            req = self._active[slot]
+            assert req is not None
+            emitted = self._emitted[slot]
+            p_cont = len(req.input_ids) + len(emitted)
+            remaining = self.gen_cfg.max_new_tokens - len(emitted)
+            if -(-p_cont // b) * b + remaining > self.max_len:
+                continue  # continuation could never fit a fresh session
+            ids = np.concatenate(
+                [np.asarray(req.input_ids),
+                 np.asarray(emitted, dtype=np.asarray(req.input_ids).dtype)]
+            )
+            vim = (
+                np.concatenate(
+                    [np.asarray(req.video_input_mask),
+                     np.zeros(len(emitted), np.asarray(req.video_input_mask).dtype)]
+                )
+                if req.video_input_mask is not None
+                else None
+            )
+            cont = dataclasses.replace(req, input_ids=ids, video_input_mask=vim)
+            self._carry_emitted[cont.rid] = list(emitted)
+            self._queue.appendleft(cont)
+            self._active[slot] = None
+            self._emitted[slot] = []
+            self._finished = self._finished.at[slot].set(True)
+            self.stats["evictions"] += 1
+            return True
+        return False
+
+    def _write_spec_corpus(self, slot, ids, mask, vim, w, extra=None) -> None:
+        """Reset the slot's lookup-corpus row at admission: the W-wide padded
+        prompt with pad/video-placeholder positions masked to -1 (the same
+        contract as generation.speculative.build_lookup_corpus), optionally
+        followed by the request's extra reference tokens (truncated to the
+        engine's ``spec_extra_corpus`` budget)."""
+        cl = self._corpus.shape[1]
+        keep = mask.astype(bool)
+        if vim is not None:
+            keep = keep & (vim == 0)
+        row = np.where(keep, ids, -1).astype(np.int32)
+        if extra is not None and self.spec_extra_corpus > 0:
+            row = np.concatenate(
+                [row, np.asarray(extra, np.int32)[: self.spec_extra_corpus]]
+            )
+        end = len(row)
+        row = np.concatenate([row, np.full(cl - len(row), -1, np.int32)])
+        self._corpus = _write_corpus_row(
+            self._corpus, jnp.asarray(row[None]), jnp.asarray(slot, jnp.int32)
+        )
+        self._corpus_end = self._corpus_end.at[slot].set(end)
 
     def _bucket(self, prompt_len: int) -> int:
         w = max(int(self._cache["index"]), prompt_len)
@@ -489,9 +821,14 @@ class ContinuousBatchingEngine:
             req = self._queue[0]
             p = len(req.input_ids)
             w = self._bucket(p)
-            if w + self.gen_cfg.max_new_tokens > self.max_len:
+            # evicted continuations already emitted part of their budget;
+            # reserve only what the request can still produce
+            need = self.gen_cfg.max_new_tokens - len(
+                self._carry_emitted.get(req.rid, ())
+            )
+            if w + need > self.max_len:
                 b = self.prefill_bucket
-                if -(-p // b) * b + self.gen_cfg.max_new_tokens > self.max_len:
+                if -(-p // b) * b + need > self.max_len:
                     self._queue.popleft()
                     raise ValueError(
                         f"request rid={req.rid} prompt ({p} tokens) cannot fit "
@@ -525,8 +862,10 @@ class ContinuousBatchingEngine:
                 jnp.asarray(mask[None], jnp.int32),
                 jnp.asarray(slot, jnp.int32),
             )
+            if self._spec is not None:
+                self._write_spec_corpus(slot, ids, mask, vim, w, req.extra_corpus)
             self._active[slot] = req
-            self._emitted[slot] = []
+            self._emitted[slot] = self._carry_emitted.pop(req.rid, [])
             self._admitted_chunk[slot] = self._chunk_count
 
     def _admit_pending_t5(self) -> None:
@@ -613,7 +952,12 @@ class ContinuousBatchingEngine:
             self.variables, method=VB.embed_and_scatter, **kw
         )
 
-    def _harvest(self, toks: np.ndarray, finished: np.ndarray) -> list[Completion]:
+    def _harvest(
+        self,
+        toks: np.ndarray,
+        finished: np.ndarray,
+        n_valid: Optional[np.ndarray] = None,
+    ) -> list[Completion]:
         out: list[Completion] = []
         max_new = self.gen_cfg.max_new_tokens
         budget_hit = False
@@ -621,7 +965,10 @@ class ContinuousBatchingEngine:
             if req is None:
                 continue
             room = max_new - len(self._emitted[slot])
-            self._emitted[slot].extend(int(t) for t in toks[slot, :room])
+            # plain chunks emit the full row width; speculative passes emit a
+            # per-row count (acceptance varies by slot)
+            take = room if n_valid is None else min(room, int(n_valid[slot]))
+            self._emitted[slot].extend(int(t) for t in toks[slot, :take])
             done = bool(finished[slot]) or len(self._emitted[slot]) >= max_new
             if done:
                 row = np.full((max_new,), self.gen_cfg.pad_token_id, np.int32)

@@ -56,6 +56,15 @@ def parse_args():
     p.add_argument("--max_prompt_len", type=int, default=2048,
                    help="T5 engines: width of the per-slot cross-K/V buffers "
                         "(seq2seq prompts never enter the shared self cache)")
+    p.add_argument("--draft", choices=["prompt_lookup"], default=None,
+                   help="per-slot speculative decoding in the engine: each "
+                        "slot drafts from its own prompt+emitted corpus and "
+                        "advances by its OWN acceptance (greedy decoder-only "
+                        "engines; token-identical to plain serving)")
+    p.add_argument("--draft_gamma", type=int, default=8,
+                   help="speculative window: drafted tokens per verify pass")
+    p.add_argument("--draft_match_len", type=int, default=3,
+                   help="longest n-gram tail tried by the prompt-lookup matcher")
     p.add_argument("--arrival_rate", type=float, default=0.0,
                    help="requests/sec (open loop, exponential gaps, seed "
                         "--random_seed); 0 = submit everything up front")
@@ -198,6 +207,8 @@ def main():
         max_prompt_len=args.max_prompt_len,
         vision_chunks=args.vision_chunks, feature_cache=feature_cache,
         feature_loader=feature_loader,
+        speculative=args.draft, spec_gamma=args.draft_gamma,
+        spec_match_len=args.draft_match_len,
     )
 
     n = len(dataset) if args.num_eval_datapoints is None else min(
@@ -294,6 +305,14 @@ def main():
         "max_slots": args.max_slots,
         "chunk_tokens": args.chunk_tokens,
     }
+    if args.draft:
+        # realized speculative advance: emitted tokens per live row per pass
+        metrics["spec_tokens_per_pass"] = round(
+            engine.stats["spec_tokens"] / max(engine.stats["spec_rows"], 1), 3
+        )
+        metrics["spec_passes"] = engine.stats["spec_passes"]
+        metrics["spec_fallback_chunks"] = engine.stats["spec_fallback_chunks"]
+        metrics["evictions"] = engine.stats["evictions"]
     print(json.dumps(metrics))
 
 

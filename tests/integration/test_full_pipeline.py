@@ -303,6 +303,38 @@ def test_serve_cli_matches_static_generate(world, frames_dir, icl_map, gen_plain
     assert serve_rows == plain_rows
 
 
+def test_serve_cli_speculative_matches_static_generate(
+    world, frames_dir, icl_map, gen_plain_csv
+):
+    """--draft prompt_lookup (per-slot speculative serving) stays
+    byte-identical to the static generate CLI at the product surface."""
+    out_csv = str(world / "serve-spec.csv")
+    _run(
+        [
+            "scripts/serve.py",
+            "--model", str(world / "checkpoint"),
+            "--dtype", "fp32",
+            "--eval_frames_dir", str(frames_dir),
+            "--in_context_query_map_file", icl_map,
+            "--in_context_example_frames_dir", str(frames_dir),
+            "--num_eval_datapoints", "2",
+            "--max_new_tokens", "4",
+            "--max_slots", "2",
+            "--max_len", "128",
+            "--chunk_tokens", "2",
+            "--prefill_bucket", "32",
+            "--draft", "prompt_lookup",
+            "--draft_gamma", "4",
+            "--output_csv", out_csv,
+        ]
+    )
+    serve_rows = {r["frame_path"]: r["generated"] for r in csv.DictReader(open(out_csv))}
+    plain_rows = {
+        r["frame_path"]: r["generated"] for r in csv.DictReader(open(gen_plain_csv))
+    }
+    assert serve_rows == plain_rows
+
+
 def test_serve_cli_t5_matches_static_generate(world, frames_dir, icl_map, tmp_path):
     """Round 4: the T5 family serves through scripts/serve.py too (per-slot
     cross-K/V admission) — byte-identical to the static generate CLI."""
