@@ -750,12 +750,15 @@ def generate(
     with the target's first k layers self-drafting ``draft_tokens`` tokens per
     verify pass — TOKEN-IDENTICAL output (generation/speculative.py).
 
-    ``draft="prompt_lookup"`` (decoder-only greedy) switches to MODEL-FREE
+    ``draft="prompt_lookup"`` (decoder-only) switches to MODEL-FREE
     speculative decoding: each iteration proposes the ``draft_tokens`` tokens
     that followed the most recent occurrence of the emitted tail n-gram
-    (``draft_match_len`` down to 1) in the prompt + generated text — also
-    TOKEN-IDENTICAL; the draft costs no model forward at all
-    (generation/speculative.py:prompt_lookup_greedy_decode).
+    (``draft_match_len`` down to 1) in the prompt + generated text — the
+    draft costs no model forward at all. Greedy is TOKEN-IDENTICAL to the
+    plain loop (generation/speculative.py:prompt_lookup_greedy_decode);
+    ``do_sample`` runs distribution-preserving speculative sampling (same
+    output law as the plain sampling loop, different rng stream —
+    prompt_lookup_sample_decode).
     ``lookup_corpus`` overrides the match corpus (default: ``input_ids`` with
     padding/video positions masked via :func:`build_lookup_corpus`).
 
@@ -818,15 +821,19 @@ def generate(
     if isinstance(cfg.text_config, OPTConfig):
         if gen_cfg.num_beams > 1:
             return _beam_search_decoder_only(model, variables, inputs_embeds, attention_mask, gen_cfg)
-        if draft == "prompt_lookup" and not gen_cfg.do_sample:
+        if draft == "prompt_lookup":
             if gen_cfg.has_logits_processors:
                 raise NotImplementedError(
-                    "speculative decoding implements plain greedy; drop "
+                    "speculative decoding implements plain greedy/sampling; drop "
                     "draft='prompt_lookup' to use repetition_penalty/"
                     "no_repeat_ngram_size/min_new_tokens"
                 )
             from ..models.opt import OPTForCausalLM
-            from .speculative import build_lookup_corpus, prompt_lookup_greedy_decode
+            from .speculative import (
+                build_lookup_corpus,
+                prompt_lookup_greedy_decode,
+                prompt_lookup_sample_decode,
+            )
 
             if lookup_corpus is None:
                 lookup_corpus = build_lookup_corpus(
@@ -834,6 +841,14 @@ def generate(
                 )
             lm_params = variables["params"]["language_model"]
             target_lm = OPTForCausalLM(cfg.text_config, dtype=model.dtype)
+            if gen_cfg.do_sample:
+                # distribution-preserving speculative sampling (NOT the same
+                # rng stream as the plain sampling loop; same output law)
+                return prompt_lookup_sample_decode(
+                    target_lm, lm_params, jnp.asarray(lookup_corpus, jnp.int32),
+                    inputs_embeds, attention_mask, gen_cfg, rng,
+                    gamma=draft_tokens, match_len=draft_match_len,
+                )
             return prompt_lookup_greedy_decode(
                 target_lm, lm_params, jnp.asarray(lookup_corpus, jnp.int32),
                 inputs_embeds, attention_mask, gen_cfg,

@@ -1,4 +1,4 @@
-"""Greedy speculative decoding for the narration workload (decoder-only LMs).
+"""Speculative decoding for the narration workload (decoder-only LMs).
 
 The decode loop is weight-stream-bound (~10 ms/step ≈ the HBM floor at the
 flagship shape — benchmarks/decode_structure.py), so the one step-count lever
@@ -394,6 +394,191 @@ def prompt_lookup_greedy_decode(
         # ---- emissions: d_1..d_amin then y_{amin+1} (see
         # speculative_greedy_decode for the uniform-across-rows argument) ----
         correction = jax.lax.dynamic_index_in_dim(targets, amin, 1, keepdims=False)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, gamma + 1), 1)
+        emit0 = jnp.concatenate([drafts, jnp.full((b, 1), pad, jnp.int32)], axis=1)
+        emit = jnp.where(
+            col < amin, emit0, jnp.where(col == amin, correction[:, None], pad)
+        )
+        emit = jnp.where(finished[:, None], pad, emit)
+        hits = eos_hit(emit) & (col <= amin)
+        first_eos = jnp.min(jnp.where(hits, col, gamma + 1), axis=1)
+        emit = jnp.where(col > first_eos[:, None], pad, emit)
+        new_finished = finished | (first_eos <= gamma)
+
+        out = jax.lax.dynamic_update_slice(out, emit, (0, n_emitted))
+
+        # ---- roll the target cache back to the accepted prefix ----
+        new_index = t_cache["index"] - (gamma + 1) + (amin + 1)
+        t_cache = dict(t_cache)
+        max_len = t_cache["mask"].shape[1]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+        t_cache["mask"] = jnp.where(slot < new_index, t_cache["mask"], 0)
+        t_cache["pos"] = t_cache["pos"] - (t_cache["index"] - new_index)
+        t_cache["index"] = new_index
+
+        new_pending = jnp.where(new_finished, pad, correction)
+        return (n_emitted + amin + 1, t_cache, new_pending, new_finished, out, iters + 1)
+
+    def cond_w(carry):
+        return cond(carry[:5])
+
+    def body_w(carry):
+        *inner, iters = carry
+        return body(tuple(inner), iters)
+
+    carry = (jnp.ones((), jnp.int32), t_cache, pending, fin0, out0, jnp.zeros((), jnp.int32))
+    n_emitted, _, _, _, out, iters = jax.lax.while_loop(cond_w, body_w, carry)
+    if return_stats:
+        return out[:, :max_new], (jnp.minimum(n_emitted, max_new), iters)
+    return out[:, :max_new]
+
+
+# ---------------------------------------------------------------------------
+# prompt-lookup speculative SAMPLING (distribution-preserving)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gen_cfg", "gamma", "match_len", "return_stats"),
+)
+def prompt_lookup_sample_decode(
+    model: OPTForCausalLM,
+    lm_params: dict,
+    prompt_corpus: jax.Array,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    gen_cfg: GenerationConfig,
+    rng: jax.Array,
+    gamma: int = 8,
+    match_len: int = 3,
+    return_stats: bool = False,
+) -> jax.Array:
+    """DISTRIBUTION-PRESERVING sampling with prompt-lookup drafts.
+
+    Speculative sampling (the rejection rule of Leviathan et al. / Chen et
+    al., specialized to a deterministic draft): the lookup draft is a point
+    mass q = delta(d_i), so position i's draft is accepted with probability
+    p_i(d_i) (one uniform draw against the target's own warped probability of
+    the drafted token), and the first rejected position resamples from the
+    residual norm(max(0, p_i - q)) — which for a point-mass draft is exactly
+    p_i with d_i zeroed and renormalized. Every emitted token is therefore an
+    EXACT draw from the target's warped distribution (temperature -> top_k ->
+    top_p, the same `_select_token` warp as the plain sampling loop), whatever
+    the draft quality — only the speedup depends on the match rate. NOT
+    bit-identical to the plain sampling loop (the rng is consumed in a
+    different order); distribution-identical (statistically tested in
+    tests/generation/test_prompt_lookup_sampling.py, and exactly equal to
+    greedy prompt-lookup when the distribution is a point mass).
+
+    Batched semantics: the global advance is the min acceptance over
+    unfinished rows, as in the greedy path. Rows that accepted beyond the min
+    simply discard those draws and redraw next iteration with FRESH uniforms
+    (fold_in on the iteration counter) — discarded draws never influence an
+    emitted token, so the output law is unchanged.
+
+    Same contract as :func:`prompt_lookup_greedy_decode` plus ``rng``.
+    """
+    assert gen_cfg.do_sample, "use prompt_lookup_greedy_decode for greedy"
+    from .decoding import _filter_top_k, _filter_top_p
+
+    b, s, _ = inputs_embeds.shape
+    max_new = gen_cfg.max_new_tokens
+    pad = gen_cfg.pad_token_id
+    eos = tuple(gen_cfg.eos_token_id or ())
+    out_len = max_new + gamma + 2
+    cache_len = s + max_new + gamma + 2
+    p_len = prompt_corpus.shape[1]
+
+    def eos_hit(t):
+        hit = jnp.zeros(t.shape, bool)
+        for e in eos:
+            hit = hit | (t == e)
+        return hit
+
+    def warp(logits):
+        """The plain sampling loop's exact warp (decoding._select_token), in
+        fp32: temperature -> top_k -> top_p, returned as logits."""
+        x = logits.astype(jnp.float32) / jnp.maximum(gen_cfg.temperature, 1e-6)
+        x = _filter_top_k(x, gen_cfg.top_k)
+        return _filter_top_p(x, gen_cfg.top_p)
+
+    t_cache = opt_mod.init_cache(model.config, b, cache_len, dtype=inputs_embeds.dtype)
+    t_logits, t_cache = model.apply(
+        {"params": lm_params}, inputs_embeds, attention_mask=attention_mask,
+        cache=t_cache,
+    )
+    pending = jax.random.categorical(
+        jax.random.fold_in(rng, 2**30), warp(t_logits[:, -1]), axis=-1
+    ).astype(jnp.int32)
+
+    out0 = jnp.full((b, out_len), pad, jnp.int32)
+    finished0 = jnp.zeros((b,), bool)
+    pending = jnp.where(finished0, pad, pending)
+    fin0 = finished0 | eos_hit(pending)
+    out0 = out0.at[:, 0].set(pending)
+
+    def embed(tok):
+        return model.apply({"params": lm_params}, tok, method=type(model).embed)
+
+    def lookup_drafts(out, n_emitted):
+        corpus = jnp.concatenate([prompt_corpus, out], axis=1)
+        end = jnp.full((b,), p_len + n_emitted, jnp.int32)
+        return lookup_drafts_rows(
+            corpus, end, gamma, match_len, pad, vocab=model.config.vocab_size
+        )
+
+    def cond(carry):
+        n_emitted, _, _, finished, _ = carry
+        return jnp.logical_and(n_emitted < max_new, ~jnp.all(finished))
+
+    def body(carry, iters):
+        n_emitted, t_cache, pending, finished, out = carry
+        drafts = lookup_drafts(out, n_emitted)  # (B, gamma)
+
+        # ---- verify: one target pass over [pending, d_1..d_gamma] ----
+        block = jnp.concatenate([pending[:, None], drafts], axis=1)
+        v_logits, t_cache = model.apply(
+            {"params": lm_params},
+            embed(block),
+            attention_mask=jnp.ones((b, gamma + 1), jnp.int32),
+            cache=t_cache,
+            cache_append=True,
+        )
+        x = warp(v_logits)  # (B, gamma+1, V) warped fp32 logits
+        probs = jax.nn.softmax(x, axis=-1)
+
+        it_rng = jax.random.fold_in(rng, iters)
+        u_rng, res_rng = jax.random.split(it_rng)
+
+        # ---- accept d_{i+1} with prob p_i(d_{i+1}) (point-mass draft) ----
+        p_draft = jnp.take_along_axis(
+            probs[:, :gamma], drafts[..., None], axis=-1
+        )[..., 0]  # (B, gamma)
+        u = jax.random.uniform(u_rng, (b, gamma))
+        accept = u < p_draft
+        a_row = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+        amin = jnp.min(jnp.where(finished, gamma, a_row))
+
+        # ---- per-row token at col amin:
+        #   a_row > amin  -> the ACCEPTED draft d_{amin+1}
+        #   a_row == amin -> residual resample from p_amin (d zeroed) — except
+        #                    when amin == gamma (full acceptance): the bonus
+        #                    position samples p_gamma unmasked ----
+        x_sel = jax.lax.dynamic_index_in_dim(x, amin, 1, keepdims=False)  # (B, V)
+        d_idx = jnp.minimum(amin, gamma - 1)
+        d_sel = jax.lax.dynamic_index_in_dim(drafts, d_idx, 1, keepdims=False)  # (B,)
+        rejected_here = (a_row == amin) & (amin < gamma)
+        vocab_iota = jax.lax.broadcasted_iota(jnp.int32, x_sel.shape, 1)
+        x_masked = jnp.where(
+            rejected_here[:, None] & (vocab_iota == d_sel[:, None]),
+            jnp.finfo(x_sel.dtype).min,
+            x_sel,
+        )
+        resampled = jax.random.categorical(res_rng, x_masked, axis=-1).astype(jnp.int32)
+        correction = jnp.where(a_row > amin, d_sel, resampled)
+
+        # ---- emissions (same fixed-shape contract as the greedy path) ----
         col = jax.lax.broadcasted_iota(jnp.int32, (b, gamma + 1), 1)
         emit0 = jnp.concatenate([drafts, jnp.full((b, 1), pad, jnp.int32)], axis=1)
         emit = jnp.where(
