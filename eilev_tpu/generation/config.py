@@ -12,7 +12,9 @@ class GenerationConfig:
     reference exercises (greedy, sampling with temperature/top-k/top-p, beam
     search with length_penalty - see reference
     ``samples/eilev_generate_action_narration.py:60-75`` and
-    ``tests/model/test_model_v2.py:189-295``)."""
+    ``tests/model/test_model_v2.py:189-295``). ``do_sample`` with
+    ``num_beams > 1`` runs HF ``beam_sample`` semantics (warped multinomial
+    candidate draw, expressed as Gumbel top-k in decoding._beam_engine)."""
 
     max_new_tokens: int = 32
     num_beams: int = 1
@@ -35,6 +37,12 @@ class GenerationConfig:
     repetition_penalty: float = 1.0
     no_repeat_ngram_size: int = 0
     min_new_tokens: int = 0
+    # HF ``num_return_sequences``: >1 returns that many sequences per input row
+    # (interleaved, like HF). Sampling tiles the KV cache after ONE prefill
+    # (cheaper than HF's repeat_interleave-then-prefill); beam search returns
+    # the top-n finished hypotheses (requires num_return_sequences <= num_beams,
+    # the HF contract). Greedy requires 1, as in HF.
+    num_return_sequences: int = 1
 
     @property
     def has_logits_processors(self) -> bool:
@@ -70,6 +78,7 @@ _SUPPORTED_JSON_KEYS = {
     "repetition_penalty": "repetition_penalty",
     "no_repeat_ngram_size": "no_repeat_ngram_size",
     "min_new_tokens": "min_new_tokens",
+    "num_return_sequences": "num_return_sequences",
 }
 
 #: Keys silently accepted because our engines already implement their HF
@@ -92,7 +101,6 @@ def generation_config_from_json(
     instead of dying as a bare ``TypeError`` downstream.
     """
     known_unsupported = {
-        "num_return_sequences",
         "penalty_alpha",
         "typical_p",
         "epsilon_cutoff",

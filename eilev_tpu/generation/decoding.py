@@ -147,6 +147,52 @@ def _is_eos(tokens: jax.Array, cfg: GenerationConfig) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+#: cache entries laid out (layers, batch, ...) — tiled along axis 1; everything
+#: else except the scalar write index is (batch, ...) — tiled along axis 0.
+_CACHE_LAYERS_FIRST = ("k", "v", "k_scale", "v_scale", "cross_k", "cross_v")
+
+
+def _tile_cache(cache, n: int):
+    """Repeat every cache row ``n`` times along the batch axis (row-major:
+    output row ``r*n + i`` is copy ``i`` of input row ``r``). Used to expand a
+    once-prefilled cache across beams (``_beam_search_*``) or across
+    ``num_return_sequences`` sampling copies — the copies are identical, so
+    prefilling pre-repeated inputs (as HF does via ``repeat_interleave``)
+    would pay ``n``x the prefill FLOPs for the same bytes; the tile is a plain
+    HBM copy."""
+    if n == 1:
+        return cache
+    return {
+        key: (
+            val
+            if key == "index"
+            else jnp.repeat(val, n, axis=1 if key in _CACHE_LAYERS_FIRST else 0)
+        )
+        for key, val in cache.items()
+    }
+
+
+def _validate_num_return_sequences(gen_cfg: GenerationConfig) -> None:
+    """HF ``GenerationMixin._validate_generated_length`` contract: greedy
+    returns exactly one sequence; beam search can return at most num_beams."""
+    nrs = gen_cfg.num_return_sequences
+    if nrs < 1:
+        raise ValueError(f"num_return_sequences must be >= 1, got {nrs}")
+    if nrs == 1:
+        return
+    if gen_cfg.num_beams > 1:
+        if nrs > gen_cfg.num_beams:
+            raise ValueError(
+                "num_return_sequences has to be smaller or equal to num_beams "
+                f"(got num_return_sequences={nrs}, num_beams={gen_cfg.num_beams})"
+            )
+    elif not gen_cfg.do_sample:
+        raise ValueError(
+            "num_return_sequences > 1 requires do_sample=True or num_beams > 1 "
+            "(greedy search is deterministic and returns one sequence, as in HF)"
+        )
+
+
 def _prefill(model: VB, variables, inputs_embeds, attention_mask, max_new_tokens):
     b, s, _ = inputs_embeds.shape
     tcfg: OPTConfig = model.config.text_config
@@ -176,6 +222,14 @@ def _greedy_sample_decoder_only(
     b = inputs_embeds.shape[0]
     max_new = gen_cfg.max_new_tokens
     last_logits, cache = _prefill(model, variables, inputs_embeds, attention_mask, max_new)
+    nrs = gen_cfg.num_return_sequences if gen_cfg.do_sample else 1
+    if nrs > 1:
+        # HF num_return_sequences: repeat_interleave the batch and sample each
+        # copy independently. Prefill once, tile the cache (the copies are
+        # identical); rows come back interleaved (row*nrs + i), like HF.
+        cache = _tile_cache(cache, nrs)
+        last_logits = jnp.repeat(last_logits, nrs, axis=0)
+        b = b * nrs
     out_buf = jnp.full((b, max_new), gen_cfg.pad_token_id, jnp.int32)
 
     def cond(carry):
@@ -289,6 +343,11 @@ def generate_stream(
             "repetition_penalty/no_repeat_ngram_size/min_new_tokens need the "
             "full generated history per step; use generate()"
         )
+    if generation_config.num_return_sequences > 1:
+        raise NotImplementedError(
+            "num_return_sequences > 1 cannot stream (rows would interleave "
+            "mid-yield); use generate()"
+        )
     gen_cfg = generation_config
     if gen_cfg.eos_token_id is None:
         gen_cfg = gen_cfg.with_eos(cfg.text_config.eos_token_id)
@@ -351,6 +410,7 @@ def _beam_engine(
     gen_cfg: GenerationConfig,
     b: int,
     prefix_ids: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
 ):
     """Shared on-device beam loop.
 
@@ -358,6 +418,15 @@ def _beam_engine(
     step; ``reorder_fn(cache, flat_idx)`` gathers the cache along the beam axis.
     Semantics mirror HF BeamSearchScorer.process/finalize exactly (verified
     token-identical by tests/generation/test_generate_parity.py).
+
+    With ``gen_cfg.do_sample`` the candidate selection follows HF
+    ``beam_sample`` instead of top-k: warpers (temperature/top-k/top-p) apply
+    to the beam-score-augmented log-probs, then 2*nb candidates are drawn
+    without replacement from the flattened (nb*V) softmax and sorted by score.
+    The multinomial draw is expressed as Gumbel top-k (add Gumbel noise to the
+    warped scores, take the top 2*nb) — the exact same output law as torch
+    ``multinomial(replacement=False)``, fixed-shape and fully on device
+    (different rng stream than HF, necessarily).
 
     Returns (hyp_scores (b, nb), hyp_tokens (b, nb, max_new)) — finished
     hypotheses sorted best-first, pad-filled after each hypothesis's end.
@@ -375,12 +444,18 @@ def _beam_engine(
     hyp_tokens0 = jnp.full((b, nb, max_new), pad, jnp.int32)
     done0 = jnp.zeros((b,), bool)
 
+    if gen_cfg.do_sample and rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng0 = rng if rng is not None else jax.random.PRNGKey(0)
+
     def cond(carry):
-        step, _, _, _, _, _, _, done = carry
+        step, _, _, _, _, _, _, done, _ = carry
         return jnp.logical_and(step < max_new, ~jnp.all(done))
 
     def body(carry):
-        step, logprobs, cache, beam_scores, generated, hyp_scores, hyp_tokens, done = carry
+        step, logprobs, cache, beam_scores, generated, hyp_scores, hyp_tokens, done, cur_rng = (
+            carry
+        )
         cur_len = (step + 1).astype(jnp.float32)
         vocab = logprobs.shape[-1]
 
@@ -397,8 +472,27 @@ def _beam_engine(
                 logprobs, gen_cfg, hist, step + n_prefix, step
             )
 
-        flat = (logprobs.reshape(b, nb, vocab) + beam_scores[:, :, None]).reshape(b, nb * vocab)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * nb)  # ties: lowest index first, like torch
+        if gen_cfg.do_sample:
+            # HF beam_sample: warpers run on the beam-score-augmented scores
+            # per (batch*beam) row, then 2*nb candidates are multinomial-drawn
+            # (without replacement) from the flattened softmax and sorted by
+            # their warped score descending. Gumbel top-k == that multinomial.
+            scored = logprobs + beam_scores.reshape(b * nb)[:, None]
+            scored = scored / jnp.maximum(gen_cfg.temperature, 1e-6)
+            scored = _filter_top_k(scored, gen_cfg.top_k)
+            scored = _filter_top_p(scored, gen_cfg.top_p)
+            flat = scored.reshape(b, nb * vocab)
+            cur_rng, step_rng = jax.random.split(cur_rng)
+            gumbel = jax.random.gumbel(step_rng, flat.shape, flat.dtype)
+            _, top_idx = jax.lax.top_k(flat + gumbel, 2 * nb)
+            top_scores = jnp.take_along_axis(flat, top_idx, axis=1)
+            top_scores, order = jax.lax.top_k(top_scores, 2 * nb)  # sort desc
+            top_idx = jnp.take_along_axis(top_idx, order, axis=1)
+        else:
+            flat = (logprobs.reshape(b, nb, vocab) + beam_scores[:, :, None]).reshape(
+                b, nb * vocab
+            )
+            top_scores, top_idx = jax.lax.top_k(flat, 2 * nb)  # ties: lowest index first, like torch
         top_tokens = (top_idx % vocab).astype(jnp.int32)
         top_beams = (top_idx // vocab).astype(jnp.int32)
         is_eos = _token_in_set(top_tokens, eos)  # (b, 2nb)
@@ -478,6 +572,7 @@ def _beam_engine(
             new_hyp_scores,
             new_hyp_tokens,
             new_done,
+            cur_rng,
         )
 
     carry = (
@@ -489,8 +584,9 @@ def _beam_engine(
         hyp_scores0,
         hyp_tokens0,
         done0,
+        rng0,
     )
-    step, _, _, beam_scores, generated, hyp_scores, hyp_tokens, done = jax.lax.while_loop(
+    step, _, _, beam_scores, generated, hyp_scores, hyp_tokens, done, _ = jax.lax.while_loop(
         cond, body, carry
     )
 
@@ -514,6 +610,7 @@ def _beam_search_decoder_only_device(
     inputs_embeds: jax.Array,
     attention_mask: jax.Array,
     gen_cfg: GenerationConfig,
+    rng: Optional[jax.Array] = None,
 ):
     b = inputs_embeds.shape[0]
     nb = gen_cfg.num_beams
@@ -526,14 +623,7 @@ def _beam_search_decoder_only_device(
     last_logits, cache = _prefill(
         model, variables, inputs_embeds, attention_mask, gen_cfg.max_new_tokens
     )
-    cache = {
-        key: (
-            val
-            if key == "index"
-            else jnp.repeat(val, nb, axis=1 if key in ("k", "v", "k_scale", "v_scale") else 0)
-        )
-        for key, val in cache.items()
-    }
+    cache = _tile_cache(cache, nb)
     logprobs0 = jax.nn.log_softmax(
         jnp.repeat(last_logits, nb, axis=0).astype(jnp.float32), axis=-1
     )
@@ -559,7 +649,7 @@ def _beam_search_decoder_only_device(
         return out
 
     return _beam_engine(logprobs0, cache0=cache, step_fn=step_fn, reorder_fn=reorder_fn,
-                        gen_cfg=gen_cfg, b=b)
+                        gen_cfg=gen_cfg, b=b, rng=rng)
 
 
 def _beam_search_decoder_only(
@@ -568,12 +658,17 @@ def _beam_search_decoder_only(
     inputs_embeds: jax.Array,
     attention_mask: jax.Array,
     gen_cfg: GenerationConfig,
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     scores, tokens = _beam_search_decoder_only_device(
-        model, variables, inputs_embeds, attention_mask, gen_cfg
+        model, variables, inputs_embeds, attention_mask, gen_cfg,
+        rng if gen_cfg.do_sample else None,
     )
     del scores
-    best = np.asarray(tokens[:, 0])  # (b, max_new), pad-filled after each hyp
+    # hypotheses come back sorted best-first; HF num_return_sequences returns
+    # the top n per input, interleaved (row*n + rank)
+    nrs = gen_cfg.num_return_sequences
+    best = np.asarray(tokens[:, :nrs]).reshape(-1, tokens.shape[-1])
     return jnp.asarray(_trim_to_longest(best, gen_cfg.pad_token_id))
 
 
@@ -599,6 +694,7 @@ def _beam_search_seq2seq_device(
     inputs_embeds: jax.Array,
     attention_mask: jax.Array,
     gen_cfg: GenerationConfig,
+    rng: Optional[jax.Array] = None,
 ):
     tcfg = model.config.text_config
     b = inputs_embeds.shape[0]
@@ -615,10 +711,7 @@ def _beam_search_seq2seq_device(
         gen_cfg.max_new_tokens + 1,
         method=lambda mdl, h, n: mdl.language_model.init_decode_cache(h, n),
     )
-    cache = {
-        key: (jnp.repeat(val, nb, axis=1) if key != "index" else val)
-        for key, val in cache.items()
-    }
+    cache = _tile_cache(cache, nb)
     # encoder_hidden is unused by cached decode steps (cross K/V live in the
     # cache) but decode_step's signature takes it; the mask IS used.
     encoder_hidden = jnp.repeat(encoder_hidden, nb, axis=0)
@@ -640,7 +733,7 @@ def _beam_search_seq2seq_device(
     start_tok = jnp.full((b * nb,), tcfg.decoder_start_token_id, jnp.int32)
     logprobs0, cache = step_fn(start_tok, cache)
     return _beam_engine(logprobs0, cache0=cache, step_fn=step_fn, reorder_fn=reorder_fn,
-                        gen_cfg=gen_cfg, b=b, prefix_ids=start_tok[:, None])
+                        gen_cfg=gen_cfg, b=b, prefix_ids=start_tok[:, None], rng=rng)
 
 
 def _beam_search_seq2seq(
@@ -649,14 +742,17 @@ def _beam_search_seq2seq(
     inputs_embeds: jax.Array,
     attention_mask: jax.Array,
     gen_cfg: GenerationConfig,
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """HF-semantics beam search for the T5 family on the shared device engine."""
     tcfg = model.config.text_config
     scores, tokens = _beam_search_seq2seq_device(
-        model, variables, inputs_embeds, attention_mask, gen_cfg
+        model, variables, inputs_embeds, attention_mask, gen_cfg,
+        rng if gen_cfg.do_sample else None,
     )
     del scores
-    best = np.asarray(tokens[:, 0])
+    nrs = gen_cfg.num_return_sequences
+    best = np.asarray(tokens[:, :nrs]).reshape(-1, tokens.shape[-1])
     best = _trim_to_longest(best, gen_cfg.pad_token_id)
     # HF sequences start with decoder_start_token_id
     start_col = np.full((best.shape[0], 1), tcfg.decoder_start_token_id, best.dtype)
@@ -681,6 +777,14 @@ def _greedy_sample_seq2seq(
         gen_cfg.max_new_tokens + 1,
         method=lambda mdl, h, n: mdl.language_model.init_decode_cache(h, n),
     )
+    nrs = gen_cfg.num_return_sequences if gen_cfg.do_sample else 1
+    if nrs > 1:
+        # HF num_return_sequences for seq2seq sampling: encode + project cross
+        # K/V once, tile across copies (same dedup as the beam tile above)
+        cache = _tile_cache(cache, nrs)
+        encoder_hidden = jnp.repeat(encoder_hidden, nrs, axis=0)
+        attention_mask = jnp.repeat(attention_mask, nrs, axis=0)
+        b = b * nrs
     start = jnp.full((b, 1), tcfg.decoder_start_token_id, jnp.int32)
     logits, cache = model.apply(
         variables, start, encoder_hidden, attention_mask, cache, method=VB.t5_decode_step
@@ -768,7 +872,11 @@ def generate(
     calls; takes precedence over ``pixel_values``.
 
     Returns (B, <=max_new_tokens) generated token ids (decoder-only LMs: new tokens
-    only; seq2seq: includes the decoder start token, like HF).
+    only; seq2seq: includes the decoder start token, like HF). With
+    ``num_return_sequences=n > 1`` (sampling or beam) the first axis is B*n,
+    interleaved like HF (row*n + rank); sampling tiles the KV cache after ONE
+    prefill instead of HF's repeat_interleave-then-prefill, beam returns the
+    top-n finished hypotheses.
     """
     cfg: VideoBlipConfig = model.config
     if not isinstance(cfg.text_config, (OPTConfig, T5Config)):
@@ -783,6 +891,7 @@ def generate(
     gen_cfg = generation_config
     if gen_cfg.eos_token_id is None:
         gen_cfg = gen_cfg.with_eos(cfg.text_config.eos_token_id)
+    _validate_num_return_sequences(gen_cfg)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if attention_mask is None:
@@ -820,13 +929,20 @@ def generate(
         raise ValueError(f"unknown draft strategy {draft!r}; supported: 'prompt_lookup'")
     if isinstance(cfg.text_config, OPTConfig):
         if gen_cfg.num_beams > 1:
-            return _beam_search_decoder_only(model, variables, inputs_embeds, attention_mask, gen_cfg)
+            return _beam_search_decoder_only(
+                model, variables, inputs_embeds, attention_mask, gen_cfg, rng
+            )
         if draft == "prompt_lookup":
             if gen_cfg.has_logits_processors:
                 raise NotImplementedError(
                     "speculative decoding implements plain greedy/sampling; drop "
                     "draft='prompt_lookup' to use repetition_penalty/"
                     "no_repeat_ngram_size/min_new_tokens"
+                )
+            if gen_cfg.num_return_sequences > 1:
+                raise NotImplementedError(
+                    "speculative decoding returns one sequence per input; drop "
+                    "draft='prompt_lookup' to use num_return_sequences > 1"
                 )
             from ..models.opt import OPTForCausalLM
             from .speculative import (
@@ -877,5 +993,7 @@ def generate(
             model, variables, inputs_embeds, attention_mask, gen_cfg, rng
         )
     if gen_cfg.num_beams > 1:
-        return _beam_search_seq2seq(model, variables, inputs_embeds, attention_mask, gen_cfg)
+        return _beam_search_seq2seq(
+            model, variables, inputs_embeds, attention_mask, gen_cfg, rng
+        )
     return _greedy_sample_seq2seq(model, variables, inputs_embeds, attention_mask, gen_cfg, rng)

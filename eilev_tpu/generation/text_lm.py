@@ -22,7 +22,11 @@ from ..configs import LlamaConfig, OPTConfig, VideoBlipConfig
 from ..models.llama import LlamaForCausalLM, convert_llama, llama_config_from_hf
 from ..models.opt import OPTForCausalLM
 from .config import GenerationConfig
-from .decoding import _beam_search_decoder_only, _greedy_sample_decoder_only
+from .decoding import (
+    _beam_search_decoder_only,
+    _greedy_sample_decoder_only,
+    _validate_num_return_sequences,
+)
 
 
 class _TextOnlyModule(nn.Module):
@@ -149,6 +153,7 @@ class TextLM:
         gen_cfg = generation_config or GenerationConfig(max_new_tokens=64)
         if gen_cfg.eos_token_id is None:
             gen_cfg = gen_cfg.with_eos(self.config.text_config.eos_token_id)
+        _validate_num_return_sequences(gen_cfg)
         enc = [self.tokenizer(t)["input_ids"] for t in prompts]
         longest = max(len(e) for e in enc)
         ids = np.stack(

@@ -467,6 +467,12 @@ class ContinuousBatchingEngine:
                 "repetition_penalty/no_repeat_ngram_size/min_new_tokens; "
                 "use generate() for those knobs"
             )
+        if generation_config.num_return_sequences > 1:
+            raise NotImplementedError(
+                "the serving engine emits one sequence per request; submit the "
+                "request num_return_sequences times (distinct rng) or use "
+                "generate()"
+            )
         if self._is_t5:
             # T5 prompts live in the per-slot cross buffers (max_prompt_len
             # wide); the shared self cache holds decoder tokens only

@@ -282,6 +282,12 @@ def main() -> None:
 
     def drain(meta, tokens):
         texts = tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)
+        if len(texts) != len(meta):
+            # num_return_sequences > 1: generate returns nrs rows per input,
+            # interleaved (HF layout) — give each returned sequence its own
+            # output row (the reference script would silently mispair here)
+            nrs = len(texts) // len(meta)
+            meta = [m for m in meta for _ in range(nrs)]
         for m, text in zip(meta, texts):
             row = {
                 "frame_path": m["frame_path"],

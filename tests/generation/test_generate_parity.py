@@ -177,6 +177,204 @@ def test_sampling_runs_and_respects_vocab(opt_setup):
     assert (out >= 0).all() and (out < cfg.text_config.vocab_size).all()
 
 
+def test_beam_num_return_sequences_token_identical(opt_setup):
+    """HF num_return_sequences with beam search: the top-n finished hypotheses
+    per input, interleaved (row*n + rank) — reference CLI forwards it via the
+    GenerationConfig JSON (generate_narration_texts.py:203)."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    max_new = 8
+    ref = _hf_generate(
+        model,
+        ids,
+        mask,
+        pixel,
+        vim,
+        max_new_tokens=max_new,
+        do_sample=False,
+        num_beams=3,
+        num_return_sequences=2,
+        pad_token_id=cfg.text_config.pad_token_id,
+    )
+    ours = np.asarray(
+        generate(
+            m,
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            video_input_mask=jnp.asarray(vim),
+            generation_config=GenerationConfig(
+                max_new_tokens=max_new,
+                num_beams=3,
+                num_return_sequences=2,
+                pad_token_id=cfg.text_config.pad_token_id,
+            ),
+        )
+    )
+    assert ours.shape[0] == ref.shape[0] == 2 * ids.shape[0]
+    n = min(ref.shape[1], ours.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+def test_sampling_num_return_sequences_tile_exact(opt_setup):
+    """The tile-after-one-prefill dedup must be bit-identical to physically
+    repeating the inputs (HF's repeat_interleave layout) under the same rng."""
+    _, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    nrs = 3
+    b, v_per = ids.shape[0], pixel.shape[0] // ids.shape[0]
+    gcfg = dict(
+        max_new_tokens=6,
+        do_sample=True,
+        temperature=0.7,
+        top_k=10,
+        pad_token_id=cfg.text_config.pad_token_id,
+    )
+    key = jax.random.PRNGKey(11)
+    tiled = np.asarray(
+        generate(
+            m,
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            video_input_mask=jnp.asarray(vim),
+            generation_config=GenerationConfig(num_return_sequences=nrs, **gcfg),
+            rng=key,
+        )
+    )
+    # physically repeat every input row nrs times (pixel rows are grouped
+    # batch-major: repeat whole per-row video groups)
+    pixel_rep = np.repeat(
+        pixel.reshape(b, v_per, *pixel.shape[1:]), nrs, axis=0
+    ).reshape(b * nrs * v_per, *pixel.shape[1:])
+    manual = np.asarray(
+        generate(
+            m,
+            {"params": params},
+            input_ids=jnp.asarray(np.repeat(ids, nrs, axis=0)),
+            attention_mask=jnp.asarray(np.repeat(mask, nrs, axis=0)),
+            pixel_values=jnp.asarray(pixel_rep),
+            video_input_mask=jnp.asarray(np.repeat(vim, nrs, axis=0)),
+            generation_config=GenerationConfig(**gcfg),
+            rng=key,
+        )
+    )
+    assert tiled.shape == (b * nrs, 6)
+    np.testing.assert_array_equal(tiled, manual)
+
+
+def test_beam_sample_near_onehot_equals_beam():
+    """Drive the shared beam engine with a synthetic near-one-hot score table:
+    the Gumbel top-k draw (HF beam_sample's multinomial without replacement)
+    picks the dominant candidates with probability ~1 (score gaps of 60 nats
+    vs O(1) Gumbel noise), so sampled output must equal deterministic beam
+    search token for token — validating the sampling machinery end to end
+    without depending on HF's rng stream.
+
+    (Note: a temperature->0 limit test would be WRONG here — HF beam_sample
+    re-warps the cumulative beam score every step, so tiny temperatures
+    compound on the beam score and change the search relative to plain beam
+    search. This implementation reproduces that HF quirk.)"""
+    from eilev_tpu.generation.decoding import _beam_engine
+
+    b, nb, vocab, max_new = 1, 2, 16, 4
+    seq = [3, 5, 7, 2]  # token per step; 2 == eos at the last step
+    table = np.full((max_new + 1, vocab), -60.0, np.float32)
+    for s, t in enumerate(seq):
+        table[s, t] = 0.0
+    table[max_new] = -60.0
+    table_j = jnp.asarray(table)
+
+    def step_fn(tokens, cache):
+        i = cache["i"] + 1
+        lp = jnp.broadcast_to(table_j[jnp.minimum(i, max_new)], (b * nb, vocab))
+        return lp, {"i": i}
+
+    def reorder_fn(cache, idx):
+        return cache
+
+    logprobs0 = jnp.broadcast_to(table_j[0], (b * nb, vocab))
+    cache0 = {"i": jnp.zeros((), jnp.int32)}
+
+    outs = {}
+    for do_sample in (False, True):
+        gcfg = GenerationConfig(
+            max_new_tokens=max_new,
+            num_beams=nb,
+            do_sample=do_sample,
+            temperature=1.0,
+            top_k=0,
+            top_p=1.0,
+            eos_token_id=(2,),
+            pad_token_id=0,
+        )
+        _, tokens = _beam_engine(
+            logprobs0, cache0, step_fn, reorder_fn, gcfg, b,
+            rng=jax.random.PRNGKey(23),
+        )
+        outs[do_sample] = np.asarray(tokens[:, 0])
+    np.testing.assert_array_equal(outs[True], outs[False])
+    # and the dominant path is actually what the table encodes
+    np.testing.assert_array_equal(outs[False][0], np.asarray(seq, np.int32))
+
+
+def test_beam_sample_stochastic_and_bounded(opt_setup):
+    _, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    common = dict(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+        pixel_values=jnp.asarray(pixel),
+        video_input_mask=jnp.asarray(vim),
+    )
+    gcfg = GenerationConfig(
+        max_new_tokens=6,
+        num_beams=3,
+        do_sample=True,
+        temperature=5.0,
+        num_return_sequences=2,
+        pad_token_id=cfg.text_config.pad_token_id,
+    )
+    outs = [
+        np.asarray(
+            generate(m, {"params": params}, generation_config=gcfg,
+                     rng=jax.random.PRNGKey(seed), **common)
+        )
+        for seed in (0, 1)
+    ]
+    for out in outs:
+        assert out.shape[0] == 2 * ids.shape[0]
+        assert (out >= 0).all() and (out < cfg.text_config.vocab_size).all()
+    # at temperature 5 over a near-uniform random-weight vocab, two seeds
+    # agreeing everywhere would be astronomically unlikely
+    a, b = outs
+    n = min(a.shape[1], b.shape[1])
+    assert not np.array_equal(a[:, :n], b[:, :n])
+
+
+def test_num_return_sequences_validation(opt_setup):
+    _, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    common = dict(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+        pixel_values=jnp.asarray(pixel),
+        video_input_mask=jnp.asarray(vim),
+    )
+    with pytest.raises(ValueError, match="greedy"):
+        generate(
+            m,
+            {"params": params},
+            generation_config=GenerationConfig(num_return_sequences=2),
+            **common,
+        )
+    with pytest.raises(ValueError, match="smaller or equal to num_beams"):
+        generate(
+            m,
+            {"params": params},
+            generation_config=GenerationConfig(num_beams=2, num_return_sequences=3),
+            **common,
+        )
+
+
 @pytest.mark.slow
 def test_t5_greedy_token_identical():
     model, cfg, params = make_oracle("t5")
@@ -208,6 +406,44 @@ def test_t5_greedy_token_identical():
     )
     n = min(ref.shape[1], ours.shape[1])
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+def test_t5_sampling_num_return_sequences():
+    """Seq2seq sampling with num_return_sequences: encode + cross-KV once,
+    tiled across copies; rows interleaved like HF."""
+    _, cfg, params = make_oracle("t5")
+    rng = np.random.default_rng(13)
+    b, t, s, nrs = 2, 2, 12, 3
+    img = cfg.vision_config.image_size
+    pixel = rng.normal(size=(b, 3, t, img, img)).astype(np.float32)
+    ids = rng.integers(4, cfg.text_config.vocab_size, size=(b, s))
+    mask = np.ones((b, s), np.int64)
+    vim = np.zeros((b, s), np.int64)
+    vim[:, : cfg.num_query_tokens] = 1
+    m = VideoBlipForConditionalGeneration(cfg)
+    out = np.asarray(
+        generate(
+            m,
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            video_input_mask=jnp.asarray(vim),
+            generation_config=GenerationConfig(
+                max_new_tokens=6,
+                do_sample=True,
+                temperature=0.8,
+                num_return_sequences=nrs,
+                pad_token_id=cfg.text_config.pad_token_id,
+                eos_token_id=(cfg.text_config.eos_token_id,),
+            ),
+            rng=jax.random.PRNGKey(5),
+        )
+    )
+    # decoder start token + up to max_new generated
+    assert out.shape == (b * nrs, 7)
+    assert (out[:, 0] == cfg.text_config.decoder_start_token_id).all()
+    assert (out >= 0).all() and (out < cfg.text_config.vocab_size).all()
 
 
 @pytest.mark.slow

@@ -242,9 +242,16 @@ def test_from_json_default_max_new():
 
 def test_from_json_rejects_unsupported():
     with pytest.raises(ValueError, match="not implemented.*supported keys"):
-        generation_config_from_json({"num_return_sequences": 3}, pad_token_id=1)
+        generation_config_from_json({"penalty_alpha": 0.5}, pad_token_id=1)
     with pytest.raises(ValueError, match="not a recognized.*supported keys"):
         generation_config_from_json({"nonsense_key": 3}, pad_token_id=1)
+
+
+def test_from_json_num_return_sequences():
+    cfg = generation_config_from_json(
+        {"num_return_sequences": 3, "do_sample": True}, pad_token_id=1
+    )
+    assert cfg.num_return_sequences == 3
 
 
 def test_stream_rejects_processors(opt_setup):
