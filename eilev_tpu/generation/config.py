@@ -43,13 +43,43 @@ class GenerationConfig:
     # the top-n finished hypotheses (requires num_return_sequences <= num_beams,
     # the HF contract). Greedy requires 1, as in HF.
     num_return_sequences: int = 1
+    # Remaining HF sampling warpers (applied after temperature/top_k/top_p in
+    # HF's _get_logits_processor order: min_p -> typical_p -> epsilon ->
+    # eta), implemented fixed-shape in decoding._warp_logits and verified
+    # logits-identical vs the HF warper classes
+    # (tests/generation/test_logits_processors.py).
+    min_p: float = 0.0
+    typical_p: float = 1.0
+    epsilon_cutoff: float = 0.0
+    eta_cutoff: float = 0.0
+    # HF token-constraint processors (decoding._process_scores, HF order):
+    # NoBadWords (ban word[-1] when the generated tail matches word[:-1];
+    # single-token words banned everywhere), Forced BOS/EOS, Suppress /
+    # SuppressAtBegin. ``min_length``/``max_length`` are accepted as JSON and
+    # translated to min_new/max_new at the generate() boundary (the engines
+    # see generated-token counts, matching HF's inputs_embeds-driven path the
+    # reference uses - v2.py:254-324).
+    bad_words_ids: Optional[tuple[tuple[int, ...], ...]] = None
+    forced_bos_token_id: Optional[int] = None
+    forced_eos_token_id: Optional[tuple[int, ...]] = None
+    suppress_tokens: Optional[tuple[int, ...]] = None
+    begin_suppress_tokens: Optional[tuple[int, ...]] = None
+    min_length: int = 0
+    max_length: Optional[int] = None
 
     @property
     def has_logits_processors(self) -> bool:
+        """Knobs needing the full generated history (or a step counter) per
+        step — the decode loops route through _process_scores when set."""
         return (
             self.repetition_penalty != 1.0
             or self.no_repeat_ngram_size > 0
             or self.min_new_tokens > 0
+            or bool(self.bad_words_ids)
+            or self.forced_bos_token_id is not None
+            or self.forced_eos_token_id is not None
+            or bool(self.suppress_tokens)
+            or bool(self.begin_suppress_tokens)
         )
 
     def with_eos(self, eos) -> "GenerationConfig":
@@ -79,7 +109,22 @@ _SUPPORTED_JSON_KEYS = {
     "no_repeat_ngram_size": "no_repeat_ngram_size",
     "min_new_tokens": "min_new_tokens",
     "num_return_sequences": "num_return_sequences",
+    "min_p": "min_p",
+    "typical_p": "typical_p",
+    "epsilon_cutoff": "epsilon_cutoff",
+    "eta_cutoff": "eta_cutoff",
+    "bad_words_ids": "bad_words_ids",
+    "forced_bos_token_id": "forced_bos_token_id",
+    "forced_eos_token_id": "forced_eos_token_id",
+    "suppress_tokens": "suppress_tokens",
+    "begin_suppress_tokens": "begin_suppress_tokens",
+    "min_length": "min_length",
+    "max_length": "max_length",
 }
+
+#: JSON keys whose list values must become (hashable) tuples so the frozen
+#: config can be a jit static argument.
+_TUPLE_KEYS = {"suppress_tokens", "begin_suppress_tokens", "forced_eos_token_id"}
 
 #: Keys silently accepted because our engines already implement their HF
 #: default behavior unconditionally (passing the default is a no-op in HF too).
@@ -102,21 +147,11 @@ def generation_config_from_json(
     """
     known_unsupported = {
         "penalty_alpha",
-        "typical_p",
-        "epsilon_cutoff",
-        "eta_cutoff",
         "diversity_penalty",
         "num_beam_groups",
         "encoder_repetition_penalty",
-        "bad_words_ids",
         "force_words_ids",
-        "suppress_tokens",
-        "begin_suppress_tokens",
-        "forced_bos_token_id",
-        "forced_eos_token_id",
         "exponential_decay_length_penalty",
-        "max_length",
-        "min_length",
         "guidance_scale",
         "low_memory",
         "constraints",
@@ -144,7 +179,19 @@ def generation_config_from_json(
             )
         if key == "eos_token_id":
             eos = value
+            continue
+        if key in _TUPLE_KEYS and value is not None:
+            value = (value,) if isinstance(value, int) else tuple(value)
+        elif key == "bad_words_ids" and value is not None:
+            value = tuple(tuple(word) for word in value)
+        kwargs[_SUPPORTED_JSON_KEYS[key]] = value
+    if kwargs.get("max_length") is not None:
+        if "max_new_tokens" in kwargs:
+            # HF: max_new_tokens takes precedence when both are given
+            kwargs["max_length"] = None
         else:
-            kwargs[_SUPPORTED_JSON_KEYS[key]] = value
+            # placeholder budget; generate() retranslates via _resolve_lengths
+            # with the model family's HF-visible start length
+            kwargs.setdefault("max_new_tokens", kwargs["max_length"])
     kwargs.setdefault("max_new_tokens", default_max_new_tokens)
     return GenerationConfig(**kwargs).with_eos(eos)

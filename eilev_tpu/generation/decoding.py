@@ -36,21 +36,26 @@ from .config import GenerationConfig
 # ---------------------------------------------------------------------------
 
 
-def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:
+def _filter_top_k(logits: jax.Array, k: int, min_keep: int = 1) -> jax.Array:
+    k = max(k, min_keep) if k > 0 else k  # HF TopKLogitsWarper: max(top_k, min_tokens_to_keep)
     if k <= 0 or k >= logits.shape[-1]:
         return logits
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, jnp.finfo(logits.dtype).min, logits)
 
 
-def _filter_top_p(logits: jax.Array, p: float) -> jax.Array:
+def _filter_top_p(logits: jax.Array, p: float, min_keep: int = 1) -> jax.Array:
     if p >= 1.0:
         return logits
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # keep tokens until cumulative prob exceeds p (always keep the top token)
+    # keep tokens until cumulative prob exceeds p (equivalent to the HF
+    # ascending-sort formulation); always keep the top min_keep tokens
     keep_sorted = (cum - probs) < p
+    if min_keep > 1:
+        rank = jax.lax.broadcasted_iota(jnp.int32, keep_sorted.shape, keep_sorted.ndim - 1)
+        keep_sorted = keep_sorted | (rank < min_keep)
     kth = jnp.where(
         keep_sorted, sorted_logits, jnp.full_like(sorted_logits, jnp.finfo(logits.dtype).max)
     )
@@ -58,13 +63,87 @@ def _filter_top_p(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(logits < threshold, jnp.finfo(logits.dtype).min, logits)
 
 
+def _keep_top(logits: jax.Array, remove: jax.Array, min_keep: int) -> jax.Array:
+    """Un-remove the ``min_keep`` highest-scoring tokens (HF's
+    ``min_tokens_to_keep`` guard in the Epsilon/Eta/MinP warpers)."""
+    kth = jax.lax.top_k(logits, min(min_keep, logits.shape[-1]))[0][..., -1:]
+    return remove & (logits < kth)
+
+
+def _filter_min_p(logits: jax.Array, min_p: float, min_keep: int = 1) -> jax.Array:
+    """HF MinPLogitsWarper: drop tokens whose prob < min_p * max_prob."""
+    if min_p <= 0.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    top = jnp.max(probs, axis=-1, keepdims=True)
+    remove = _keep_top(logits, probs < min_p * top, min_keep)
+    return jnp.where(remove, -jnp.inf, logits)
+
+
+def _filter_typical(logits: jax.Array, mass: float, min_keep: int = 1) -> jax.Array:
+    """HF TypicalLogitsWarper: keep the smallest set of tokens closest (in
+    |surprisal - entropy|) whose cumulative prob reaches ``mass``."""
+    if mass >= 1.0:
+        return logits
+    normalized = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(normalized)
+    ent = -jnp.sum(jnp.where(p > 0, normalized * p, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-normalized - ent)
+    order = jnp.argsort(shifted, axis=-1)  # ascending, like torch.sort
+    sorted_shifted = jnp.take_along_axis(shifted, order, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    last_ind = jnp.clip(jnp.sum(cum < mass, axis=-1), 0, logits.shape[-1] - 1)
+    cutoff = jnp.take_along_axis(sorted_shifted, last_ind[..., None], axis=-1)
+    sorted_remove = sorted_shifted > cutoff
+    if min_keep >= 1:
+        rank = jax.lax.broadcasted_iota(jnp.int32, sorted_remove.shape, sorted_remove.ndim - 1)
+        sorted_remove = sorted_remove & (rank >= min_keep)
+    rows = jnp.arange(logits.shape[0])[:, None]
+    remove = jnp.zeros(logits.shape, bool).at[rows, order].set(sorted_remove)
+    return jnp.where(remove, -jnp.inf, logits)
+
+
+def _filter_epsilon(logits: jax.Array, epsilon: float, min_keep: int = 1) -> jax.Array:
+    """HF EpsilonLogitsWarper: drop tokens with prob < epsilon."""
+    if epsilon <= 0.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    remove = _keep_top(logits, probs < epsilon, min_keep)
+    return jnp.where(remove, -jnp.inf, logits)
+
+
+def _filter_eta(logits: jax.Array, epsilon: float, min_keep: int = 1) -> jax.Array:
+    """HF EtaLogitsWarper: adaptive cutoff min(eps, sqrt(eps)*exp(-entropy))."""
+    if epsilon <= 0.0:
+        return logits
+    normalized = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(normalized)
+    entropy = -jnp.sum(jnp.where(probs > 0, normalized * probs, 0.0), axis=-1, keepdims=True)
+    eta = jnp.minimum(epsilon, jnp.sqrt(epsilon) * jnp.exp(-entropy))
+    remove = _keep_top(logits, probs < eta, min_keep)
+    return jnp.where(remove, -jnp.inf, logits)
+
+
+def _warp_logits(x: jax.Array, cfg: GenerationConfig, min_keep: int = 1) -> jax.Array:
+    """The HF sampling-warper chain in _get_logits_processor order:
+    temperature -> top_k -> top_p -> min_p -> typical_p -> epsilon -> eta.
+    Each warper is verified logits-identical vs its HF class
+    (tests/generation/test_logits_processors.py)."""
+    x = x / jnp.maximum(cfg.temperature, 1e-6)
+    x = _filter_top_k(x, cfg.top_k, min_keep)
+    x = _filter_top_p(x, cfg.top_p, min_keep)
+    x = _filter_min_p(x, cfg.min_p, min_keep)
+    x = _filter_typical(x, cfg.typical_p, min_keep)
+    x = _filter_epsilon(x, cfg.epsilon_cutoff, min_keep)
+    x = _filter_eta(x, cfg.eta_cutoff, min_keep)
+    return x
+
+
 def _select_token(logits: jax.Array, cfg: GenerationConfig, rng: Optional[jax.Array]) -> jax.Array:
     if not cfg.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    x = logits / jnp.maximum(cfg.temperature, 1e-6)
-    x = _filter_top_k(x, cfg.top_k)
-    x = _filter_top_p(x, cfg.top_p)
-    return jax.random.categorical(rng, x, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(rng, _warp_logits(logits, cfg), axis=-1).astype(jnp.int32)
 
 
 def _process_scores(
@@ -76,8 +155,10 @@ def _process_scores(
 ) -> jax.Array:
     """Fixed-shape HF logits processors, in HF's application order
     (``GenerationMixin._get_logits_processor``): RepetitionPenalty ->
-    NoRepeatNGram -> MinNewTokensLength. Token-identical to the HF processors
-    (tests/generation/test_generate_parity.py).
+    NoRepeatNGram -> NoBadWords -> MinNewTokensLength -> ForcedBOS ->
+    ForcedEOS -> SuppressTokens -> SuppressTokensAtBegin. Token-identical to
+    the HF processors (tests/generation/test_generate_parity.py,
+    tests/generation/test_logits_processors.py).
 
     ``scores``: (N, V) raw logits (greedy/sampling) or log-probs (beam - HF
     applies processors after log_softmax there). ``history``: (N, L) the ids
@@ -124,11 +205,64 @@ def _process_scores(
         )
         scores = jnp.where(ban_mask, -jnp.inf, scores)
 
+    if cfg.bad_words_ids:
+        # HF NoBadWordsLogitsProcessor (== SequenceBias at -inf): ban the last
+        # token of each bad word when the preceding generated tokens match its
+        # prefix; single-token words are banned unconditionally. HF filters
+        # out words equal to a lone eos token.
+        for word in cfg.bad_words_ids:
+            m = len(word)
+            if m == 0 or (m == 1 and cfg.eos_token_id and word[0] in cfg.eos_token_id):
+                continue
+            if m == 1:
+                scores = scores.at[:, word[0]].set(-jnp.inf)
+                continue
+            if m - 1 > length:
+                continue
+            start = jnp.maximum(n_valid - (m - 1), 0)
+            tail = jax.lax.dynamic_slice_in_dim(history, start, m - 1, axis=1)
+            hit = n_valid >= (m - 1)
+            for k, t in enumerate(word[:-1]):
+                hit = hit & (tail[:, k] == t)
+            scores = scores.at[:, word[-1]].set(
+                jnp.where(hit, -jnp.inf, scores[:, word[-1]])
+            )
+
     if cfg.min_new_tokens > 0 and cfg.eos_token_id:
         ban_eos = n_generated < cfg.min_new_tokens
         for e in cfg.eos_token_id:
             scores = scores.at[:, e].set(
                 jnp.where(ban_eos, -jnp.inf, scores[:, e])
+            )
+
+    if cfg.forced_bos_token_id is not None:
+        # HF ForcedBOSTokenLogitsProcessor fires when cur_len == 1 (the
+        # HF-visible input_ids length == n_valid here: seq2seq's first
+        # generated token, after decoder_start)
+        force = n_valid == 1
+        forced = jnp.full_like(scores, -jnp.inf).at[:, cfg.forced_bos_token_id].set(0.0)
+        scores = jnp.where(force, forced, scores)
+
+    if cfg.forced_eos_token_id is not None:
+        # HF ForcedEOSTokenLogitsProcessor fires at cur_len == max_length - 1,
+        # i.e. when generating the final token of the budget
+        force = n_generated == cfg.max_new_tokens - 1
+        forced = jnp.full_like(scores, -jnp.inf)
+        for e in cfg.forced_eos_token_id:
+            forced = forced.at[:, e].set(0.0)
+        scores = jnp.where(force, forced, scores)
+
+    if cfg.suppress_tokens:
+        for t in cfg.suppress_tokens:
+            scores = scores.at[:, t].set(-jnp.inf)
+
+    if cfg.begin_suppress_tokens:
+        # HF SuppressTokensAtBeginLogitsProcessor: only at the first generated
+        # position (begin_index == the HF-visible start length)
+        begin = n_generated == 0
+        for t in cfg.begin_suppress_tokens:
+            scores = scores.at[:, t].set(
+                jnp.where(begin, -jnp.inf, scores[:, t])
             )
     return scores
 
@@ -170,6 +304,39 @@ def _tile_cache(cache, n: int):
         )
         for key, val in cache.items()
     }
+
+
+def _resolve_lengths(gen_cfg: GenerationConfig, start_len: int) -> GenerationConfig:
+    """Translate HF total-length knobs (``min_length``/``max_length``) into
+    the new-token counts the engines use.
+
+    ``start_len`` is what HF subtracts before decoding: the inputs_embeds
+    length for decoder-only models (``GenerationMixin._prepare_generated_length``
+    does ``max_length -= inputs_tensor.shape[1]`` and the same clamp for
+    min_length on the embeds path the reference drives - v2.py:318), and 1 for
+    seq2seq, whose decoder input_ids begin with decoder_start_token_id. So
+    both knobs count prompt + generated for decoder-only, decoder tokens for
+    seq2seq - exactly HF.
+    """
+    import dataclasses
+
+    changes: dict = {}
+    if gen_cfg.max_length is not None:
+        if int(gen_cfg.max_length) <= start_len:
+            # HF _validate_generated_length raises the same way
+            raise ValueError(
+                f"max_length ({gen_cfg.max_length}) must exceed the prompt "
+                f"length ({start_len}); set max_new_tokens instead to budget "
+                "new tokens directly"
+            )
+        changes["max_new_tokens"] = int(gen_cfg.max_length) - start_len
+        changes["max_length"] = None
+    if gen_cfg.min_length > 0:
+        changes["min_new_tokens"] = max(
+            gen_cfg.min_new_tokens, int(gen_cfg.min_length) - start_len
+        )
+        changes["min_length"] = 0
+    return dataclasses.replace(gen_cfg, **changes) if changes else gen_cfg
 
 
 def _validate_num_return_sequences(gen_cfg: GenerationConfig) -> None:
@@ -340,8 +507,10 @@ def generate_stream(
         raise NotImplementedError("beam search cannot stream; use generate()")
     if generation_config.has_logits_processors:
         raise NotImplementedError(
-            "repetition_penalty/no_repeat_ngram_size/min_new_tokens need the "
-            "full generated history per step; use generate()"
+            "history-dependent logits processors (repetition_penalty/"
+            "no_repeat_ngram_size/min_new_tokens/bad_words_ids/forced/"
+            "suppress tokens) need the full generated history per step; "
+            "use generate()"
         )
     if generation_config.num_return_sequences > 1:
         raise NotImplementedError(
@@ -366,6 +535,12 @@ def generate_stream(
         )
         attention_mask = jnp.concatenate([prefix, attention_mask], axis=1)
 
+    gen_cfg = _resolve_lengths(gen_cfg, start_len=inputs_embeds.shape[1])
+    if gen_cfg.min_new_tokens > 0:
+        raise NotImplementedError(
+            "min_length translates to min_new_tokens, which needs a step "
+            "counter in the decode loop; use generate()"
+        )
     logits, cache = _prefill(
         model, variables, inputs_embeds, attention_mask, gen_cfg.max_new_tokens
     )
@@ -478,9 +653,8 @@ def _beam_engine(
             # (without replacement) from the flattened softmax and sorted by
             # their warped score descending. Gumbel top-k == that multinomial.
             scored = logprobs + beam_scores.reshape(b * nb)[:, None]
-            scored = scored / jnp.maximum(gen_cfg.temperature, 1e-6)
-            scored = _filter_top_k(scored, gen_cfg.top_k)
-            scored = _filter_top_p(scored, gen_cfg.top_p)
+            # HF passes min_tokens_to_keep=2 to every warper when beam-sampling
+            scored = _warp_logits(scored, gen_cfg, min_keep=2)
             flat = scored.reshape(b, nb * vocab)
             cur_rng, step_rng = jax.random.split(cur_rng)
             gumbel = jax.random.gumbel(step_rng, flat.shape, flat.dtype)
@@ -927,6 +1101,15 @@ def generate(
 
     if draft is not None and draft != "prompt_lookup":
         raise ValueError(f"unknown draft strategy {draft!r}; supported: 'prompt_lookup'")
+    # HF counts min_length/max_length over prompt+generated for decoder-only
+    # (it subtracts the embeds length on the inputs_embeds path) and over
+    # decoder tokens (start token included) for seq2seq
+    gen_cfg = _resolve_lengths(
+        gen_cfg,
+        start_len=(
+            inputs_embeds.shape[1] if isinstance(cfg.text_config, OPTConfig) else 1
+        ),
+    )
     if isinstance(cfg.text_config, OPTConfig):
         if gen_cfg.num_beams > 1:
             return _beam_search_decoder_only(

@@ -480,7 +480,7 @@ def prompt_lookup_sample_decode(
     Same contract as :func:`prompt_lookup_greedy_decode` plus ``rng``.
     """
     assert gen_cfg.do_sample, "use prompt_lookup_greedy_decode for greedy"
-    from .decoding import _filter_top_k, _filter_top_p
+    from .decoding import _warp_logits
 
     b, s, _ = inputs_embeds.shape
     max_new = gen_cfg.max_new_tokens
@@ -498,10 +498,9 @@ def prompt_lookup_sample_decode(
 
     def warp(logits):
         """The plain sampling loop's exact warp (decoding._select_token), in
-        fp32: temperature -> top_k -> top_p, returned as logits."""
-        x = logits.astype(jnp.float32) / jnp.maximum(gen_cfg.temperature, 1e-6)
-        x = _filter_top_k(x, gen_cfg.top_k)
-        return _filter_top_p(x, gen_cfg.top_p)
+        fp32: the full HF warper chain (temperature -> top_k -> top_p ->
+        min_p -> typical_p -> epsilon -> eta), returned as logits."""
+        return _warp_logits(logits.astype(jnp.float32), gen_cfg)
 
     t_cache = opt_mod.init_cache(model.config, b, cache_len, dtype=inputs_embeds.dtype)
     t_logits, t_cache = model.apply(

@@ -25,6 +25,7 @@ from .config import GenerationConfig
 from .decoding import (
     _beam_search_decoder_only,
     _greedy_sample_decoder_only,
+    _resolve_lengths,
     _validate_num_return_sequences,
 )
 
@@ -165,13 +166,17 @@ class TextLM:
         embeds = self.module.apply(
             self.variables, jnp.asarray(ids), method=_TextOnlyModule.embed_and_scatter
         )
+        # HF counts min_length/max_length over prompt + generated on the
+        # inputs_embeds path (decoding._resolve_lengths)
+        gen_cfg = _resolve_lengths(gen_cfg, start_len=embeds.shape[1])
         if draft is not None and draft != "prompt_lookup":
             raise ValueError(
                 f"unknown draft strategy {draft!r}; supported: 'prompt_lookup'"
             )
         if gen_cfg.num_beams > 1:
             tokens = _beam_search_decoder_only(
-                self.module, self.variables, embeds, jnp.asarray(mask), gen_cfg
+                self.module, self.variables, embeds, jnp.asarray(mask), gen_cfg,
+                rng if rng is not None else jax.random.PRNGKey(0),
             )
         elif draft == "prompt_lookup" and not gen_cfg.do_sample:
             # model-free speculative decoding (OPT and LLaMA share the cache

@@ -211,6 +211,250 @@ def test_t5_processors_greedy_and_beam():
 # ---------------------------------------------------------------------------
 
 
+def test_warper_logits_parity_vs_hf():
+    """Each fixed-shape sampling warper must be logits-identical to its HF
+    class (same removed set, same surviving values) on random logits."""
+    from transformers.generation.logits_process import (
+        EpsilonLogitsWarper,
+        EtaLogitsWarper,
+        MinPLogitsWarper,
+        TopKLogitsWarper,
+        TopPLogitsWarper,
+        TypicalLogitsWarper,
+    )
+
+    from eilev_tpu.generation.decoding import (
+        _filter_epsilon,
+        _filter_eta,
+        _filter_min_p,
+        _filter_top_k,
+        _filter_top_p,
+        _filter_typical,
+    )
+
+    rng = np.random.default_rng(3)
+    logits = (rng.normal(scale=3.0, size=(4, 50))).astype(np.float32)
+    dummy_ids = torch.zeros((4, 1), dtype=torch.long)
+    cases = [
+        ("min_p", lambda x: _filter_min_p(x, 0.2), MinPLogitsWarper(0.2)),
+        (
+            "min_p keep3",
+            lambda x: _filter_min_p(x, 0.6, 3),
+            MinPLogitsWarper(0.6, min_tokens_to_keep=3),
+        ),
+        ("typical", lambda x: _filter_typical(x, 0.7), TypicalLogitsWarper(0.7)),
+        (
+            "typical keep2",
+            lambda x: _filter_typical(x, 0.2, 2),
+            TypicalLogitsWarper(0.2, min_tokens_to_keep=2),
+        ),
+        ("epsilon", lambda x: _filter_epsilon(x, 0.05), EpsilonLogitsWarper(0.05)),
+        (
+            "epsilon keep4",
+            lambda x: _filter_epsilon(x, 0.9, 4),
+            EpsilonLogitsWarper(0.9, min_tokens_to_keep=4),
+        ),
+        ("eta", lambda x: _filter_eta(x, 0.05), EtaLogitsWarper(0.05)),
+        (
+            "eta keep4",
+            lambda x: _filter_eta(x, 0.9, 4),
+            EtaLogitsWarper(0.9, min_tokens_to_keep=4),
+        ),
+        (
+            "top_p keep2",
+            lambda x: _filter_top_p(x, 0.6, 2),
+            TopPLogitsWarper(0.6, min_tokens_to_keep=2),
+        ),
+        (
+            "top_k keep2",
+            lambda x: _filter_top_k(x, 1, 2),
+            TopKLogitsWarper(1, min_tokens_to_keep=2),
+        ),
+    ]
+    for name, ours_fn, hf in cases:
+        ref = hf(dummy_ids, torch.tensor(logits)).numpy()
+        ours = np.asarray(ours_fn(jnp.asarray(logits)))
+        # our top_k/top_p mask with finfo.min, the rest with -inf; HF uses -inf
+        ref_removed = np.isneginf(ref)
+        ours_removed = np.isneginf(ours) | (ours <= np.finfo(np.float32).min)
+        np.testing.assert_array_equal(ours_removed, ref_removed, err_msg=name)
+        np.testing.assert_allclose(
+            np.where(ref_removed, 0.0, ours),
+            np.where(ref_removed, 0.0, ref),
+            rtol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_suppress_tokens_greedy(opt_setup):
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    plain = _ours(m, params, ids, mask, pixel, vim,
+                  GenerationConfig(max_new_tokens=6, pad_token_id=pad))
+    banned = int(plain[0, 0])  # suppress the very first greedy pick
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=6, do_sample=False,
+        suppress_tokens=[banned],
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(max_new_tokens=6, pad_token_id=pad,
+                                  suppress_tokens=(banned,)))
+    _check(ref, ours)
+    assert banned not in ours
+
+
+def test_begin_suppress_tokens_greedy(opt_setup):
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    plain = _ours(m, params, ids, mask, pixel, vim,
+                  GenerationConfig(max_new_tokens=6, pad_token_id=pad))
+    banned = int(plain[0, 0])
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=6, do_sample=False,
+        begin_suppress_tokens=[banned],
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(max_new_tokens=6, pad_token_id=pad,
+                                  begin_suppress_tokens=(banned,)))
+    _check(ref, ours)
+    assert int(ours[0, 0]) != banned
+
+
+def test_bad_words_ids_greedy(opt_setup):
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    plain = _ours(m, params, ids, mask, pixel, vim,
+                  GenerationConfig(max_new_tokens=8, pad_token_id=pad))
+    # ban the 2-gram the plain run generates at positions 1-2 plus a 1-token word
+    bad = [[int(plain[0, 1]), int(plain[0, 2])], [int(plain[1, 0])]]
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=8, do_sample=False,
+        bad_words_ids=bad,
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(max_new_tokens=8, pad_token_id=pad,
+                                  bad_words_ids=tuple(tuple(w) for w in bad)))
+    _check(ref, ours)
+
+
+def test_forced_eos_greedy(opt_setup):
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    eos = cfg.text_config.eos_token_id
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=5, do_sample=False,
+        forced_eos_token_id=eos,
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(max_new_tokens=5, pad_token_id=pad,
+                                  forced_eos_token_id=(eos,)))
+    _check(ref, ours)
+    assert int(ours[0, min(4, ours.shape[1] - 1)]) in (eos, pad)
+
+
+def test_min_length_translates_to_min_new(opt_setup):
+    """HF counts min_length over prompt + generated on the inputs_embeds path
+    (it subtracts the embeds length in _prepare_generated_length); with a
+    20-token prompt, min_length=23 means at least 3 new tokens."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    prompt_len = ids.shape[1]
+    plain = _ours(m, params, ids, mask, pixel, vim,
+                  GenerationConfig(max_new_tokens=8, pad_token_id=pad))
+    fake_eos = int(plain[0, 0])  # force "early eos" pressure
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=8, do_sample=False,
+        min_length=prompt_len + 3, eos_token_id=fake_eos, pad_token_id=pad,
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(max_new_tokens=8, pad_token_id=pad,
+                                  min_length=prompt_len + 3,
+                                  eos_token_id=(fake_eos,)))
+    _check(ref, ours)
+
+
+def test_t5_forced_bos_greedy():
+    model, cfg, params = make_oracle("t5")
+    rng = np.random.default_rng(21)
+    b, t, s = 2, 2, 12
+    img = cfg.vision_config.image_size
+    pixel = rng.normal(size=(b, 3, t, img, img)).astype(np.float32)
+    ids = rng.integers(4, cfg.text_config.vocab_size, size=(b, s))
+    mask = np.ones((b, s), np.int64)
+    vim = np.zeros((b, s), np.int64)
+    vim[:, : cfg.num_query_tokens] = 1
+    m = VideoBlipForConditionalGeneration(cfg)
+    forced = 7
+    ref = _hf_generate(model, ids, mask, pixel, vim, max_new_tokens=5,
+                       do_sample=False, forced_bos_token_id=forced)
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(max_new_tokens=5,
+                                  pad_token_id=cfg.text_config.pad_token_id,
+                                  eos_token_id=(cfg.text_config.eos_token_id,),
+                                  forced_bos_token_id=forced))
+    _check(ref, ours)
+    assert int(ours[0, 1]) == forced  # position 0 is decoder_start
+
+
+def test_max_length_greedy(opt_setup):
+    """HF max_length counts prompt + generated on the inputs_embeds path; a
+    20-token prompt with max_length=26 yields at most 6 new tokens."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    prompt_len = ids.shape[1]
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, do_sample=False, max_length=prompt_len + 6,
+    )
+    cfg_json = generation_config_from_json(
+        {"max_length": prompt_len + 6}, pad_token_id=pad
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim, cfg_json)
+    assert ours.shape[1] <= 6
+    _check(ref, ours)
+    # max_length not exceeding the prompt dies the way HF does
+    with pytest.raises(ValueError, match="max_length"):
+        _ours(m, params, ids, mask, pixel, vim,
+              generation_config_from_json({"max_length": 5}, pad_token_id=pad))
+
+
+def test_from_json_new_keys_roundtrip():
+    cfg = generation_config_from_json(
+        {
+            "do_sample": True,
+            "min_p": 0.1,
+            "typical_p": 0.8,
+            "epsilon_cutoff": 0.01,
+            "eta_cutoff": 0.02,
+            "bad_words_ids": [[3, 4], [5]],
+            "suppress_tokens": [9],
+            "begin_suppress_tokens": [10, 11],
+            "forced_eos_token_id": 2,
+            "forced_bos_token_id": 1,
+            "min_length": 4,
+        },
+        pad_token_id=1,
+    )
+    assert cfg.min_p == 0.1 and cfg.typical_p == 0.8
+    assert cfg.epsilon_cutoff == 0.01 and cfg.eta_cutoff == 0.02
+    assert cfg.bad_words_ids == ((3, 4), (5,))
+    assert cfg.suppress_tokens == (9,)
+    assert cfg.begin_suppress_tokens == (10, 11)
+    assert cfg.forced_eos_token_id == (2,)
+    assert cfg.forced_bos_token_id == 1
+    assert cfg.min_length == 4
+    assert hash(cfg)  # stays hashable (jit static arg)
+
+
+def test_from_json_max_length_precedence():
+    cfg = generation_config_from_json(
+        {"max_length": 10, "max_new_tokens": 7}, pad_token_id=1
+    )
+    # HF: max_new_tokens wins when both are present
+    assert cfg.max_new_tokens == 7 and cfg.max_length is None
+    cfg = generation_config_from_json({"max_length": 10}, pad_token_id=1)
+    assert cfg.max_length == 10
+
+
 def test_from_json_supported_keys():
     cfg = generation_config_from_json(
         {
@@ -267,6 +511,23 @@ def test_stream_rejects_processors(opt_setup):
                     input_ids=jnp.asarray(ids),
                     generation_config=GenerationConfig(
                         max_new_tokens=4, repetition_penalty=1.2
+                    ),
+                )
+            )
+        )
+    # min_length that still binds after the prompt is subtracted needs the
+    # step counter generate() has and streaming lacks
+    with pytest.raises(NotImplementedError, match="min_length"):
+        next(
+            iter(
+                generate_stream(
+                    m,
+                    {"params": params},
+                    input_ids=jnp.asarray(ids),
+                    pixel_values=jnp.asarray(pixel),
+                    video_input_mask=jnp.asarray(vim),
+                    generation_config=GenerationConfig(
+                        max_new_tokens=4, min_length=ids.shape[1] + 2
                     ),
                 )
             )
