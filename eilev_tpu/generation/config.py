@@ -66,6 +66,25 @@ class GenerationConfig:
     begin_suppress_tokens: Optional[tuple[int, ...]] = None
     min_length: int = 0
     max_length: Optional[int] = None
+    # HF SequenceBiasLogitsProcessor: ((token_ids, bias), ...) — the bias is
+    # added to the last token of each sequence when the generated tail matches
+    # its prefix (single-token sequences biased unconditionally). Applied
+    # FIRST, like HF's _get_logits_processor order.
+    sequence_bias: Optional[tuple[tuple[tuple[int, ...], float], ...]] = None
+    # HF ExponentialDecayLengthPenalty: (start_index, decay_factor) — boosts
+    # every eos score by |score| * (factor^(n_generated - start) - 1) once
+    # n_generated exceeds start (start counts generated tokens, matching HF's
+    # regulation_start = start + input_ids_seq_length on the inputs_embeds
+    # path the reference drives, where input_ids_seq_length is the HF-visible
+    # start length already excluded from n_generated).
+    exponential_decay_length_penalty: Optional[tuple[int, float]] = None
+    # HF InfNanRemoveLogitsProcessor: nan -> 0, +/-inf -> finfo max/min.
+    remove_invalid_values: bool = False
+    # HF LogitNormalization: log-softmax as the LAST processor. Only
+    # observable in beam search (the scores feed cumulative hypothesis
+    # comparison there); for greedy/sampling both argmax and categorical are
+    # shift-invariant, exactly as in HF.
+    renormalize_logits: bool = False
 
     @property
     def has_logits_processors(self) -> bool:
@@ -80,6 +99,10 @@ class GenerationConfig:
             or self.forced_eos_token_id is not None
             or bool(self.suppress_tokens)
             or bool(self.begin_suppress_tokens)
+            or bool(self.sequence_bias)
+            or self.exponential_decay_length_penalty is not None
+            or self.remove_invalid_values
+            or self.renormalize_logits
         )
 
     def with_eos(self, eos) -> "GenerationConfig":
@@ -120,6 +143,19 @@ _SUPPORTED_JSON_KEYS = {
     "begin_suppress_tokens": "begin_suppress_tokens",
     "min_length": "min_length",
     "max_length": "max_length",
+    "sequence_bias": "sequence_bias",
+    "exponential_decay_length_penalty": "exponential_decay_length_penalty",
+    "remove_invalid_values": "remove_invalid_values",
+    "renormalize_logits": "renormalize_logits",
+    # Accepted for parity with HF's behavior on the inputs_embeds path the
+    # reference drives (v2.py:318-322 passes no input_ids to LM generate):
+    # HF builds EncoderRepetitionPenalty/EncoderNoRepeatNGram from the
+    # HF-visible input_ids, which are EMPTY for decoder-only models there
+    # (functional no-op) and warned-and-ignored for seq2seq (3-D
+    # inputs_tensor) — transformers/generation/utils.py:1124-1161. We mirror
+    # that: warn and drop.
+    "encoder_repetition_penalty": None,
+    "encoder_no_repeat_ngram_size": None,
 }
 
 #: JSON keys whose list values must become (hashable) tuples so the frozen
@@ -149,15 +185,10 @@ def generation_config_from_json(
         "penalty_alpha",
         "diversity_penalty",
         "num_beam_groups",
-        "encoder_repetition_penalty",
         "force_words_ids",
-        "exponential_decay_length_penalty",
         "guidance_scale",
         "low_memory",
         "constraints",
-        "sequence_bias",
-        "renormalize_logits",
-        "remove_invalid_values",
         "max_time",
         "stop_strings",
     }
@@ -180,10 +211,32 @@ def generation_config_from_json(
         if key == "eos_token_id":
             eos = value
             continue
+        if key in ("encoder_repetition_penalty", "encoder_no_repeat_ngram_size"):
+            # HF itself cannot apply these on the reference's inputs_embeds
+            # path: decoder-only models there expose EMPTY input_ids (the
+            # processor gathers/scatters nothing) and seq2seq models a 3-D
+            # inputs_tensor (HF warns and drops the processor) — see
+            # _SUPPORTED_JSON_KEYS. Mirror the warn-and-ignore.
+            if value is not None and value != (1.0 if key == "encoder_repetition_penalty" else 0):
+                import warnings
+
+                warnings.warn(
+                    f"Passing `{key}` requires some form of `input_ids` to be "
+                    "passed to `generate`; the reference drives generation via "
+                    "inputs_embeds, where HF ignores it too — ignoring.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+            continue
         if key in _TUPLE_KEYS and value is not None:
             value = (value,) if isinstance(value, int) else tuple(value)
         elif key == "bad_words_ids" and value is not None:
             value = tuple(tuple(word) for word in value)
+        elif key == "sequence_bias" and value is not None:
+            # HF JSON list format: [[[token_ids...], bias], ...]
+            value = tuple((tuple(seq), float(bias)) for seq, bias in value)
+        elif key == "exponential_decay_length_penalty" and value is not None:
+            value = (int(value[0]), float(value[1]))
         kwargs[_SUPPORTED_JSON_KEYS[key]] = value
     if kwargs.get("max_length") is not None:
         if "max_new_tokens" in kwargs:

@@ -154,10 +154,12 @@ def _process_scores(
     n_generated: jax.Array,
 ) -> jax.Array:
     """Fixed-shape HF logits processors, in HF's application order
-    (``GenerationMixin._get_logits_processor``): RepetitionPenalty ->
-    NoRepeatNGram -> NoBadWords -> MinNewTokensLength -> ForcedBOS ->
-    ForcedEOS -> SuppressTokens -> SuppressTokensAtBegin. Token-identical to
-    the HF processors (tests/generation/test_generate_parity.py,
+    (``GenerationMixin._get_logits_processor``): SequenceBias ->
+    RepetitionPenalty -> NoRepeatNGram -> NoBadWords -> MinNewTokensLength ->
+    ForcedBOS -> ForcedEOS -> InfNanRemove -> ExponentialDecayLengthPenalty ->
+    SuppressTokens -> SuppressTokensAtBegin -> LogitNormalization (last, as in
+    HF). Token-identical to the HF processors
+    (tests/generation/test_generate_parity.py,
     tests/generation/test_logits_processors.py).
 
     ``scores``: (N, V) raw logits (greedy/sampling) or log-probs (beam - HF
@@ -173,6 +175,27 @@ def _process_scores(
     rows = jnp.arange(n)[:, None]
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, length), 1)
     valid = pos < n_valid
+
+    if cfg.sequence_bias:
+        # HF SequenceBiasLogitsProcessor: add bias to seq[-1] when the
+        # generated tail equals seq[:-1]; length-1 sequences biased
+        # unconditionally. HF skips a sequence while its full length exceeds
+        # the HF-visible current length (len(seq) > input_ids.shape[1]).
+        for seq, bias in cfg.sequence_bias:
+            m = len(seq)
+            if m == 0:
+                continue
+            if m == 1:
+                scores = scores.at[:, seq[0]].add(bias)
+                continue
+            if m - 1 > length:
+                continue
+            start = jnp.maximum(n_valid - (m - 1), 0)
+            tail = jax.lax.dynamic_slice_in_dim(history, start, m - 1, axis=1)
+            hit = n_valid >= m
+            for k, t in enumerate(seq[:-1]):
+                hit = hit & (tail[:, k] == t)
+            scores = scores.at[:, seq[-1]].add(jnp.where(hit, bias, 0.0))
 
     if cfg.repetition_penalty != 1.0:
         # HF RepetitionPenaltyLogitsProcessor: gather -> scale -> scatter.
@@ -252,6 +275,27 @@ def _process_scores(
             forced = forced.at[:, e].set(0.0)
         scores = jnp.where(force, forced, scores)
 
+    if cfg.remove_invalid_values:
+        # HF InfNanRemoveLogitsProcessor: nan -> 0, +/-inf -> finfo max/min
+        finfo = jnp.finfo(scores.dtype)
+        scores = jnp.where(jnp.isnan(scores), jnp.zeros_like(scores), scores)
+        scores = jnp.where(scores == jnp.inf, finfo.max, scores)
+        scores = jnp.where(scores == -jnp.inf, finfo.min, scores)
+
+    if cfg.exponential_decay_length_penalty is not None and cfg.eos_token_id:
+        # HF ExponentialDecayLengthPenalty: cur_len - regulation_start ==
+        # n_generated - start_index on the inputs_embeds path (both sides
+        # include the same HF-visible start length)
+        start_idx, factor = cfg.exponential_decay_length_penalty
+        pidx = (n_generated - start_idx).astype(jnp.float32)
+        mult = jnp.power(jnp.float32(factor), pidx) - 1.0
+        boost = pidx > 0
+        for e in cfg.eos_token_id:
+            pen = jnp.abs(scores[:, e]) * mult
+            scores = scores.at[:, e].set(
+                jnp.where(boost, scores[:, e] + pen, scores[:, e])
+            )
+
     if cfg.suppress_tokens:
         for t in cfg.suppress_tokens:
             scores = scores.at[:, t].set(-jnp.inf)
@@ -264,6 +308,15 @@ def _process_scores(
             scores = scores.at[:, t].set(
                 jnp.where(begin, -jnp.inf, scores[:, t])
             )
+
+    if cfg.renormalize_logits:
+        # HF LogitNormalization, always the last processor. For greedy and
+        # plain sampling this is selection-invariant (argmax/categorical are
+        # shift-invariant, and every warper downstream operates on softmax
+        # mass) — it changes outcomes only where the scores accumulate: beam
+        # search, which calls _process_scores exactly where HF applies the
+        # merged processor list (before adding beam scores).
+        scores = jax.nn.log_softmax(scores, axis=-1)
     return scores
 
 

@@ -498,6 +498,173 @@ def test_from_json_num_return_sequences():
     assert cfg.num_return_sequences == 3
 
 
+def test_sequence_bias_greedy(opt_setup):
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    plain = _ours(m, params, ids, mask, pixel, vim,
+                  GenerationConfig(max_new_tokens=8, pad_token_id=pad))
+    # push the first greedy pick away (length-1) and pull a 2-token
+    # continuation of the plain step-0..1 pair somewhere else (length-2)
+    bias = [[[int(plain[0, 0])], -100.0], [[int(plain[1, 0]), int(plain[1, 1])], 5.0]]
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=8, do_sample=False,
+        sequence_bias=bias,
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(
+                     max_new_tokens=8, pad_token_id=pad,
+                     sequence_bias=tuple((tuple(s), b) for s, b in bias)))
+    _check(ref, ours)
+    assert int(ours[0, 0]) != int(plain[0, 0])
+
+
+def test_sequence_bias_unit_parity():
+    """_process_scores' sequence-bias math vs HF SequenceBiasLogitsProcessor
+    on a crafted history where 1-token, matching-2-token and non-matching
+    sequences all fire."""
+    from transformers.generation.logits_process import SequenceBiasLogitsProcessor
+
+    from eilev_tpu.generation.decoding import _process_scores
+
+    rng = np.random.default_rng(5)
+    scores = rng.normal(scale=2.0, size=(3, 30)).astype(np.float32)
+    hist = rng.integers(1, 30, size=(3, 6)).astype(np.int32)
+    hist[0, -2:] = [7, 8]  # row 0 tail matches (7, 8) -> completes (7, 8, 9)
+    bias = [[[4], 3.5], [[7, 8, 9], -6.0], [[1, 2, 3], 2.0]]
+    hf = SequenceBiasLogitsProcessor(sequence_bias=bias)
+    ref = hf(torch.tensor(hist, dtype=torch.long), torch.tensor(scores)).numpy()
+    cfg = GenerationConfig(
+        sequence_bias=tuple((tuple(s), b) for s, b in bias), pad_token_id=0
+    )
+    ours = np.asarray(
+        _process_scores(jnp.asarray(scores), cfg, jnp.asarray(hist),
+                        jnp.int32(6), jnp.int32(6))
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_exponential_decay_length_penalty_greedy(opt_setup):
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    plain = _ours(m, params, ids, mask, pixel, vim,
+                  GenerationConfig(max_new_tokens=10, pad_token_id=pad))
+    eos = int(plain[0, 5])  # a token greedy picks mid-way: decay pulls it early
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=10, do_sample=False,
+        eos_token_id=eos, pad_token_id=pad,
+        exponential_decay_length_penalty=(1, 1.7),
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(max_new_tokens=10, pad_token_id=pad,
+                                  eos_token_id=(eos,),
+                                  exponential_decay_length_penalty=(1, 1.7)))
+    _check(ref, ours)
+
+
+def test_exponential_decay_unit_parity():
+    from transformers.generation.logits_process import ExponentialDecayLengthPenalty
+
+    from eilev_tpu.generation.decoding import _process_scores
+
+    rng = np.random.default_rng(6)
+    scores = rng.normal(scale=2.0, size=(2, 20)).astype(np.float32)
+    eos = [3, 11]
+    for cur_len, fires in [(5, True), (2, False)]:
+        hf = ExponentialDecayLengthPenalty((2, 1.6), eos, input_ids_seq_length=0)
+        dummy_ids = torch.zeros((2, cur_len), dtype=torch.long)
+        ref = hf(dummy_ids, torch.tensor(scores)).numpy()
+        cfg = GenerationConfig(
+            exponential_decay_length_penalty=(2, 1.6),
+            eos_token_id=tuple(eos), pad_token_id=0,
+        )
+        hist = jnp.zeros((2, 8), jnp.int32)
+        ours = np.asarray(
+            _process_scores(jnp.asarray(scores), cfg, hist,
+                            jnp.int32(cur_len), jnp.int32(cur_len))
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+        assert fires == bool(np.any(ours != scores))
+
+
+def test_remove_invalid_values_unit_parity():
+    from transformers.generation.logits_process import InfNanRemoveLogitsProcessor
+
+    from eilev_tpu.generation.decoding import _process_scores
+
+    scores = np.array(
+        [[1.0, np.nan, np.inf, -np.inf, -2.0], [np.nan, 0.5, -np.inf, 3.0, np.inf]],
+        np.float32,
+    )
+    ref = InfNanRemoveLogitsProcessor()(
+        torch.zeros((2, 1), dtype=torch.long), torch.tensor(scores)
+    ).numpy()
+    cfg = GenerationConfig(remove_invalid_values=True, pad_token_id=0)
+    ours = np.asarray(
+        _process_scores(jnp.asarray(scores), cfg, jnp.zeros((2, 4), jnp.int32),
+                        jnp.int32(1), jnp.int32(1))
+    )
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_renormalize_logits_beam(opt_setup):
+    """LogitNormalization only changes outcomes where scores accumulate (beam
+    search); verified token-identical vs HF with a processor upstream that
+    de-normalizes the scores."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    kwargs = dict(repetition_penalty=1.6, renormalize_logits=True)
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=8, do_sample=False,
+        num_beams=3, pad_token_id=pad, **kwargs,
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(max_new_tokens=8, num_beams=3,
+                                  pad_token_id=pad, **kwargs))
+    _check(ref, ours)
+
+
+def test_encoder_repetition_penalty_hf_noop(opt_setup):
+    """On the reference's inputs_embeds path HF's own
+    EncoderRepetitionPenaltyLogitsProcessor sees EMPTY input_ids and does
+    nothing (utils.py:1124-1151); we accept the key, warn, and drop it — and
+    must match HF with the knob set."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    ref_with = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=6, do_sample=False,
+        encoder_repetition_penalty=2.5,
+    )
+    ref_without = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=6, do_sample=False,
+    )
+    np.testing.assert_array_equal(ref_with, ref_without)  # HF no-op, proven
+    with pytest.warns(UserWarning, match="encoder_repetition_penalty"):
+        gcfg = generation_config_from_json(
+            {"max_new_tokens": 6, "encoder_repetition_penalty": 2.5},
+            pad_token_id=pad,
+        )
+    ours = _ours(m, params, ids, mask, pixel, vim, gcfg)
+    _check(ref_with, ours)
+
+
+def test_from_json_round4_keys():
+    with pytest.warns(UserWarning, match="encoder_no_repeat_ngram_size"):
+        cfg = generation_config_from_json(
+            {
+                "sequence_bias": [[[3, 4], -2.0], [[5], 1.5]],
+                "exponential_decay_length_penalty": [4, 1.2],
+                "remove_invalid_values": True,
+                "renormalize_logits": True,
+                "encoder_no_repeat_ngram_size": 3,
+            },
+            pad_token_id=1,
+        )
+    assert cfg.sequence_bias == (((3, 4), -2.0), ((5,), 1.5))
+    assert cfg.exponential_decay_length_penalty == (4, 1.2)
+    assert cfg.remove_invalid_values and cfg.renormalize_logits
+    assert hash(cfg)  # stays hashable (jit static arg)
+
+
 def test_stream_rejects_processors(opt_setup):
     from eilev_tpu.generation import generate_stream
 
