@@ -99,8 +99,10 @@ def _filter_typical(logits: jax.Array, mass: float, min_keep: int = 1) -> jax.Ar
     if min_keep >= 1:
         rank = jax.lax.broadcasted_iota(jnp.int32, sorted_remove.shape, sorted_remove.ndim - 1)
         sorted_remove = sorted_remove & (rank >= min_keep)
-    rows = jnp.arange(logits.shape[0])[:, None]
-    remove = jnp.zeros(logits.shape, bool).at[rows, order].set(sorted_remove)
+    # scatter back through the inverse permutation — shape-agnostic (the
+    # speculative verify path warps (B, gamma+1, V) logits, not just (B, V))
+    inv = jnp.argsort(order, axis=-1)
+    remove = jnp.take_along_axis(sorted_remove, inv, axis=-1)
     return jnp.where(remove, -jnp.inf, logits)
 
 
@@ -244,7 +246,10 @@ def _process_scores(
                 continue
             start = jnp.maximum(n_valid - (m - 1), 0)
             tail = jax.lax.dynamic_slice_in_dim(history, start, m - 1, axis=1)
-            hit = n_valid >= (m - 1)
+            # HF skips a word while len(word) > input_ids.shape[1] (the
+            # SequenceBias guard) — the ban needs m visible tokens, exactly
+            # like the sequence_bias block above
+            hit = n_valid >= m
             for k, t in enumerate(word[:-1]):
                 hit = hit & (tail[:, k] == t)
             scores = scores.at[:, word[-1]].set(

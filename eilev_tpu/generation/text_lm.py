@@ -178,29 +178,47 @@ class TextLM:
                 self.module, self.variables, embeds, jnp.asarray(mask), gen_cfg,
                 rng if rng is not None else jax.random.PRNGKey(0),
             )
-        elif draft == "prompt_lookup" and not gen_cfg.do_sample:
+        elif draft == "prompt_lookup":
             # model-free speculative decoding (OPT and LLaMA share the cache
-            # contract); token-identical to plain greedy
+            # contract); greedy is token-identical to the plain loop, sampling
+            # is distribution-preserving (decoding.generate routes the same way)
             if gen_cfg.has_logits_processors:
                 raise NotImplementedError(
-                    "speculative decoding implements plain greedy; drop "
+                    "speculative decoding implements plain greedy/sampling; drop "
                     "draft='prompt_lookup' to use repetition_penalty/"
                     "no_repeat_ngram_size/min_new_tokens"
+                )
+            if gen_cfg.num_return_sequences > 1:
+                raise NotImplementedError(
+                    "speculative decoding returns one sequence per input; drop "
+                    "draft='prompt_lookup' to use num_return_sequences > 1"
                 )
             from ..configs import OPTConfig as _OPTConfig
             from ..models.llama import LlamaForCausalLM
             from ..models.opt import OPTForCausalLM
-            from .speculative import build_lookup_corpus, prompt_lookup_greedy_decode
+            from .speculative import (
+                build_lookup_corpus,
+                prompt_lookup_greedy_decode,
+                prompt_lookup_sample_decode,
+            )
 
             tcfg = self.config.text_config
             cls = OPTForCausalLM if isinstance(tcfg, _OPTConfig) else LlamaForCausalLM
             target = cls(tcfg, dtype=self.module.dtype)
             corpus = build_lookup_corpus(jnp.asarray(ids), jnp.asarray(mask))
-            tokens = prompt_lookup_greedy_decode(
-                target, self.variables["params"]["language_model"], corpus,
-                embeds, jnp.asarray(mask), gen_cfg,
-                gamma=draft_tokens, match_len=draft_match_len,
-            )
+            if gen_cfg.do_sample:
+                tokens = prompt_lookup_sample_decode(
+                    target, self.variables["params"]["language_model"], corpus,
+                    embeds, jnp.asarray(mask), gen_cfg,
+                    rng if rng is not None else jax.random.PRNGKey(0),
+                    gamma=draft_tokens, match_len=draft_match_len,
+                )
+            else:
+                tokens = prompt_lookup_greedy_decode(
+                    target, self.variables["params"]["language_model"], corpus,
+                    embeds, jnp.asarray(mask), gen_cfg,
+                    gamma=draft_tokens, match_len=draft_match_len,
+                )
         elif draft_layers and not gen_cfg.do_sample:
             if gen_cfg.has_logits_processors:
                 raise NotImplementedError(

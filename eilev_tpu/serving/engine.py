@@ -467,6 +467,17 @@ class ContinuousBatchingEngine:
                 "repetition_penalty/no_repeat_ngram_size/min_new_tokens; "
                 "use generate() for those knobs"
             )
+        if generation_config.max_length is not None or generation_config.min_length > 0:
+            # generate()/generate_stream() retranslate the HF total-length
+            # knobs per call via _resolve_lengths; the engine budgets one
+            # shared max_new_tokens across requests with differing prompt
+            # lengths, so a total-length contract cannot be honored here
+            raise NotImplementedError(
+                "the serving engine budgets new tokens per request; translate "
+                "max_length/min_length to max_new_tokens/min_new_tokens "
+                "yourself (HF semantics: subtract the prompt length) or use "
+                "generate()"
+            )
         if generation_config.num_return_sequences > 1:
             raise NotImplementedError(
                 "the serving engine emits one sequence per request; submit the "

@@ -37,8 +37,18 @@ def parse_args():
     p.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
     p.add_argument("--fho_lta_taxonomy", required=True)
     p.add_argument("--fho_main", required=True)
-    p.add_argument("--structured_verb_prompt", required=True)
-    p.add_argument("--structured_noun_prompt", required=True)
+    eval_data = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "ego4d", "eval-data")
+    p.add_argument(
+        "--structured_verb_prompt",
+        default=_os.path.join(eval_data, "structured_verb_prompt.csv"),
+        help="prompt->verb-class CSV (default: the vendored 188-row map, "
+        "same rows as the reference's scripts/ego4d/eval-data)",
+    )
+    p.add_argument(
+        "--structured_noun_prompt",
+        default=_os.path.join(eval_data, "structured_noun_prompt.csv"),
+        help="prompt->noun-class CSV (default: the vendored 793-row map)",
+    )
     p.add_argument("--train_narrated_actions_dir", required=True)
     p.add_argument("--eval_narrated_actions_dir", required=True)
     p.add_argument("--num_shot", required=True, type=int)
@@ -59,8 +69,8 @@ def parse_args():
     p.add_argument("--wandb_project", default=None)
     p.add_argument("--output_json", default=None)
     p.add_argument("--fast_gelu", action="store_true",
-                   help="tanh gelu serving mode in the ViT (98.9% bf16-"
-                   "faithful, tower 66->74% MFU; NOT bit-parity)")
+                   help="tanh gelu serving mode in the ViT (98.9%% bf16-"
+                   "faithful, tower 66->74%% MFU; NOT bit-parity)")
     p.add_argument("--int8_lm", action="store_true",
                    help="weight-only int8 LM serving path (classification "
                    "scoring reads int8 weights; NOT bit-parity)")

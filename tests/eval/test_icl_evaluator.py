@@ -123,3 +123,28 @@ def test_frame_loader_requires_cache(world):
         IclEvaluator(
             model, variables, tokenizer, frame_loader=lambda k: None, **kw
         )
+
+
+def test_vendored_class_prompt_maps():
+    """The repo vendors the reference's eval-data prompt->class CSVs
+    (reference scripts/ego4d/eval-data, consumed at its icl_eval.py:406-420):
+    188 verb prompts and 793 noun prompts, loadable via load_prompt_map."""
+    import os
+
+    from eilev_tpu.eval import load_prompt_map
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    d = os.path.join(repo, "scripts", "ego4d", "eval-data")
+    verbs = load_prompt_map(os.path.join(d, "structured_verb_prompt.csv"), "structured_verb")
+    nouns = load_prompt_map(os.path.join(d, "structured_noun_prompt.csv"), "structured_noun")
+    assert len(verbs) == 187  # 188 rows incl. header
+    # 793 rows incl. header; 4 duplicate prompt keys collapse in the dict,
+    # exactly as in the reference's dict-building loop (icl_eval.py:414-419)
+    assert len(nouns) == 788
+    # two-stage prompt surface: verb prompts are conjugated verbs, noun
+    # prompts are determiner phrases
+    assert verbs["adjusts"].startswith("adjust")
+    assert nouns["an apple"] == "apple"
+    # class sets (the fho-lta taxonomy side of the reference's assertion)
+    assert len(set(verbs.values())) > 50
+    assert len(set(nouns.values())) > 300

@@ -337,6 +337,44 @@ def test_bad_words_ids_greedy(opt_setup):
     _check(ref, ours)
 
 
+def test_bad_words_prefix_fills_entire_history(opt_setup):
+    """HF skips a bad word while len(word) > visible history (the
+    SequenceBias guard): a 2-token word whose prefix is the FIRST generated
+    token must not be banned at step 1 (history is only 1 token there).
+    Regression for a one-step-early ban (ADVICE r4)."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    plain = _ours(m, params, ids, mask, pixel, vim,
+                  GenerationConfig(max_new_tokens=6, pad_token_id=pad))
+    # word = the first two greedy tokens: at step 1 the generated history is
+    # exactly word[:-1], the case where the guard must NOT fire yet
+    bad = [[int(plain[0, 0]), int(plain[0, 1])]]
+    ref = _hf_generate(
+        model, ids, mask, pixel, vim, max_new_tokens=6, do_sample=False,
+        bad_words_ids=bad,
+    )
+    ours = _ours(m, params, ids, mask, pixel, vim,
+                 GenerationConfig(max_new_tokens=6, pad_token_id=pad,
+                                  bad_words_ids=tuple(tuple(w) for w in bad)))
+    _check(ref, ours)
+    # HF emits the word's second token at step 1 (no ban yet)
+    assert int(ours[0, 1]) == int(ref[0, 1])
+
+
+def test_typical_warp_shape_agnostic():
+    """_filter_typical must accept leading batch dims beyond 2-D: the
+    speculative verify path warps (B, gamma+1, V) logits (ADVICE r4)."""
+    from eilev_tpu.generation.decoding import _filter_typical
+
+    rng = np.random.default_rng(5)
+    logits = rng.normal(scale=3.0, size=(2, 3, 40)).astype(np.float32)
+    out3 = np.asarray(_filter_typical(jnp.asarray(logits), 0.6))
+    out2 = np.asarray(
+        _filter_typical(jnp.asarray(logits.reshape(6, 40)), 0.6)
+    ).reshape(2, 3, 40)
+    np.testing.assert_array_equal(out3, out2)
+
+
 def test_forced_eos_greedy(opt_setup):
     model, cfg, params, m, ids, mask, pixel, vim = opt_setup
     pad = cfg.text_config.pad_token_id

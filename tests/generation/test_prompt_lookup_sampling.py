@@ -213,3 +213,18 @@ def test_dispatch_and_processor_guard(tiny):
             ),
             draft="prompt_lookup", rng=jax.random.PRNGKey(3),
         )
+
+
+def test_sampling_warpers_trace_on_3d_verify_logits(tiny):
+    """typical_p/min_p/epsilon/eta warp the (B, gamma+1, V) verify logits —
+    regression for the 2-D-only typical scatter (ADVICE r4 trace crash)."""
+    cfg, model, params = tiny[0], tiny[1], tiny[2]
+    out = generate(
+        model, {"params": params}, **_gen_kwargs(tiny),
+        generation_config=GenerationConfig(
+            max_new_tokens=6, pad_token_id=cfg.text_config.pad_token_id,
+            do_sample=True, temperature=1.5, typical_p=0.9, min_p=0.01,
+        ),
+        draft="prompt_lookup", rng=jax.random.PRNGKey(7),
+    )
+    assert out.shape == (2, 6)

@@ -228,3 +228,34 @@ def test_text_lm_prompt_lookup_matches_plain(opt_checkpoint, llama_checkpoint):
         assert pld == plain
         with pytest.raises(ValueError, match="prompt_lookup"):
             lm.generate(prompts, cfg, draft="ngram_tree")
+
+
+def test_text_lm_prompt_lookup_sampling_routes(opt_checkpoint):
+    """draft='prompt_lookup' with do_sample must run the distribution-
+    preserving speculative sampler, not silently fall through to the plain
+    sampling loop (ADVICE r4)."""
+    from unittest.mock import patch
+
+    import jax
+    import jax.numpy as jnp
+
+    import eilev_tpu.generation.speculative as spec_mod
+    from eilev_tpu.generation import GenerationConfig
+    from eilev_tpu.generation.text_lm import TextLM
+
+    path, _ = opt_checkpoint
+    lm = TextLM(path, dtype=jnp.float32)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=5, pad_token_id=lm.tokenizer.pad_token_id,
+        eos_token_id=(0,), do_sample=True, temperature=1.3,
+    )
+    with patch.object(
+        spec_mod, "prompt_lookup_sample_decode",
+        wraps=spec_mod.prompt_lookup_sample_decode,
+    ) as spy:
+        texts = lm.generate(
+            ["The camera wearer opens a drawer and the camera wearer opens"],
+            gen_cfg, rng=jax.random.PRNGKey(1), draft="prompt_lookup",
+        )
+    assert spy.call_count == 1
+    assert len(texts) == 1

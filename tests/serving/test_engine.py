@@ -372,3 +372,24 @@ def test_engine_lazy_feature_loader_matches(world):
         ContinuousBatchingEngine(
             model, variables, gen_cfg, feature_loader=loader
         )
+
+
+def test_engine_rejects_total_length_knobs(world):
+    """max_length/min_length are HF total-length knobs generate() resolves
+    per call; the engine budgets one shared max_new_tokens, so it must
+    reject them loudly instead of over-budgeting (ADVICE r4)."""
+    cfg, model, variables, make_request = world
+    with pytest.raises(NotImplementedError, match="max_length"):
+        ContinuousBatchingEngine(
+            model, variables,
+            GenerationConfig(max_new_tokens=4, max_length=64,
+                             pad_token_id=cfg.text_config.pad_token_id),
+            max_slots=2, max_len=128, prefill_bucket=16,
+        )
+    with pytest.raises(NotImplementedError, match="min_length"):
+        ContinuousBatchingEngine(
+            model, variables,
+            GenerationConfig(max_new_tokens=4, min_length=8,
+                             pad_token_id=cfg.text_config.pad_token_id),
+            max_slots=2, max_len=128, prefill_bucket=16,
+        )
