@@ -482,6 +482,83 @@ class T5Decoder(nn.Module):
             new_cache["v"] = v_buf
         return x, new_cache
 
+    def spec_append(
+        self,
+        dec_embeds: jax.Array,  # (B, s, D) — the [next_tok, d_1..d_gamma] block
+        encoder_attention_mask: Optional[jax.Array],  # (B, P)
+        cache: Cache,  # serving slot cache with per-row "mask"
+        active: jax.Array,  # (B,) bool — gates mask writes for idle slots
+    ) -> tuple[jax.Array, Cache]:
+        """Multi-token cached append for PER-SLOT speculative serving.
+
+        Two things distinguish this from the s == 1 chunked-decode branch of
+        ``__call__``: intra-block causality (query ``j`` must not see drafts
+        ``j+1..s-1`` written in the same pass), and a PER-ROW token-space
+        relative bias. Speculative rejection leaves mask HOLES in a row's
+        window, and T5's relative bias buckets by position DISTANCE — raw
+        cache-slot distances are only correct while each row's live window is
+        contiguous (the translation-invariance argument in ``__call__``), so
+        here distances are computed over ATTENDED tokens (cumsum of the row's
+        attendable mask), which collapses holes exactly as a fresh contiguous
+        cache would. ``active`` gates the persisted mask so idle slots'
+        writes stay unattendable; every query may attend its own position
+        (softmax NaN guard for idle rows, whose outputs are discarded).
+        """
+        cfg = self.config
+        b, s, _ = dec_embeds.shape
+        index = cache["index"]
+        max_len = cache["k"].shape[2]
+        mask_dtype = cache["mask"].dtype
+        slot_pos = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)  # (1, L)
+        # ``active``: (B,) gates whole rows (the verify pass), or (B, s) gates
+        # individual block positions (the evict-replay path, where one row
+        # replays a right-padded token block and the pad tail must stay
+        # unattendable)
+        active2 = active[:, None] if active.ndim == 1 else active
+        wmask = jax.lax.dynamic_update_slice(
+            jnp.zeros((b, max_len), mask_dtype),
+            jnp.broadcast_to(active2, (b, s)).astype(mask_dtype),
+            (0, index),
+        )
+        filled = jnp.maximum(cache["mask"], wmask)  # (B, L)
+
+        # token-space positions: holes collapse out of the distance metric
+        tok_pos = jnp.cumsum(filled, axis=1) - 1  # (B, L)
+        qpos = jax.lax.dynamic_slice(tok_pos, (0, index), (b, s))  # (B, s)
+        rel = self.layers[0].self_attention.attention
+        rp = tok_pos[:, None, :] - qpos[:, :, None]  # (B, s, L) mem - query
+        buckets = relative_position_bucket(
+            rp,
+            bidirectional=False,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance,
+        )
+        bias = rel.relative_attention_bias(buckets)  # (B, s, L, H)
+        bias = bias.transpose(0, 3, 1, 2).astype(jnp.float32)  # (B, H, s, L)
+        q_slot = index + jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)  # (s, 1)
+        causal_ok = slot_pos <= q_slot  # (s, L)
+        self_pos = slot_pos == q_slot
+        attend = ((filled[:, None, :] > 0) & causal_ok[None]) | self_pos[None]
+        bias = jnp.where(attend[:, None], bias, jnp.finfo(jnp.float32).min)
+        self_attn = {"bias": bias}
+
+        new_cache = dict(cache)
+        new_cache["index"] = index + s
+        new_cache["mask"] = filled
+        x = dec_embeds
+        k_buf, v_buf = cache["k"], cache["v"]
+        for i, layer in enumerate(self.layers):
+            x, new_kv = layer(
+                x, self_attn, cache["cross_k"][i], cache["cross_v"][i],
+                encoder_attention_mask,
+                cache_kv=(k_buf, v_buf, i), cache_index=index,
+            )
+            k_buf, v_buf = new_kv
+        x = self.final_layer_norm(x)
+        new_cache["k"] = k_buf
+        new_cache["v"] = v_buf
+        return x, new_cache
+
     def make_cross_kv(self, encoder_hidden: jax.Array) -> tuple[jax.Array, jax.Array]:
         ks, vs = [], []
         for layer in self.layers:
@@ -631,5 +708,21 @@ class T5ForConditionalGeneration(nn.Module):
         dec_embeds = self.shared(decoder_input_ids)
         hidden, new_cache = self.decoder(
             dec_embeds, encoder_hidden, encoder_attention_mask, cache=cache
+        )
+        return self._head(hidden), new_cache
+
+    def decode_append(
+        self,
+        decoder_input_ids: jax.Array,  # (B, s) speculative verify block
+        encoder_attention_mask: Optional[jax.Array],
+        cache: Cache,
+        active: jax.Array,  # (B,) bool
+    ) -> tuple[jax.Array, Cache]:
+        """Multi-token speculative verify over the serving slot cache
+        (``T5Decoder.spec_append``): intra-block causal, per-row hole-aware
+        relative bias."""
+        dec_embeds = self.shared(decoder_input_ids)
+        hidden, new_cache = self.decoder.spec_append(
+            dec_embeds, encoder_attention_mask, cache, active
         )
         return self._head(hidden), new_cache

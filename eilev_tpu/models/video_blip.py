@@ -221,6 +221,11 @@ class VideoBlipForConditionalGeneration(nn.Module):
             decoder_input_ids, encoder_hidden, encoder_attention_mask, cache
         )
 
+    def t5_decode_append(self, decoder_input_ids, encoder_attention_mask, cache, active):
+        return self.language_model.decode_append(
+            decoder_input_ids, encoder_attention_mask, cache, active
+        )
+
     def t5_score_classes(
         self, class_decoder_ids, class_attention_mask, encoder_hidden, encoder_attention_mask
     ):

@@ -54,6 +54,17 @@ handled by the compact -> plain-decode -> evict-and-recompute ladder
 (_spec_step). Outputs stay token-identical to isolated greedy ``generate``
 (tests/serving/test_engine_spec.py).
 
+Speculative serving, round 5: SAMPLING and T5. With ``do_sample=True`` the
+engine runs per-row Leviathan/Chen speculative sampling specialized to the
+point-mass lookup draft (``_spec_chunk_sample``) — every emitted token is an
+exact draw from the target's warped conditional. T5 slots speculate through
+``_spec_chunk_t5`` over a multi-token hole-aware cache append
+(models/t5.py ``spec_append``: per-row relative bias over ATTENDED-token
+distances, so rejection holes don't corrupt T5's distance buckets); T5
+cache pressure resolves by in-place evict-and-replay (cross K/V never needs
+recomputing) and, when simultaneous admissions leave no compactable prefix,
+a one-pass full defrag (``_defrag_t5``).
+
 T5 (round 4): the encoder-decoder family serves through the same scheduler.
 Its shape is FRIENDLIER than OPT's: the prompt lives in per-slot cross-K/V
 buffers (admission = one encoder pass + a row splice, never touching the
@@ -371,6 +382,318 @@ def _spec_chunk(
     return cache, new_logits, new_finished, corpus, corpus_end, emit, n_emit
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gen_cfg", "gamma", "match_len"),
+    donate_argnums=(2, 5),
+)
+def _spec_chunk_sample(
+    model: VB,
+    variables,
+    cache,
+    pending: jax.Array,  # (slots,) int32 — sampled but NOT yet emitted
+    finished: jax.Array,  # (slots,) bool
+    corpus: jax.Array,  # (slots, CL) int32, invalid positions -1
+    corpus_end: jax.Array,  # (slots,) int32
+    gen_cfg: GenerationConfig,
+    rng: jax.Array,
+    gamma: int,
+    match_len: int,
+):
+    """One per-slot prompt-lookup SPECULATIVE SAMPLING pass.
+
+    The greedy pass (``_spec_chunk``) carries raw logits and re-derives its
+    pending token by argmax each pass; sampling cannot do that — the residual
+    resample after a rejection must zero the rejected draft, so the
+    correction token is drawn IN the pass and carried as an explicit
+    ``pending`` token. The rejection rule is Leviathan/Chen speculative
+    sampling specialized to the point-mass lookup draft (exactly
+    generation/speculative.py:prompt_lookup_sample_decode), applied PER ROW:
+    draft ``d_j`` is accepted with probability ``p_{j-1}(d_j)`` under the
+    target's warped distribution; the first rejected position resamples from
+    ``p`` with ``d`` zeroed and renormalized. Every emitted token is an exact
+    draw from the target's warped conditional — the acceptance rate only
+    affects speed — and unlike the static path there is NO min-over-rows
+    coupling: each row advances by its own acceptance, rejected suffixes
+    become per-row mask holes exactly as in the greedy pass.
+
+    Emits ``[pending, d_1..d_a]`` per row (``n_emit = a+1``, eos-capped);
+    the correction token becomes the next pass's pending. Also returns the
+    row's post-acceptance RAW logits (same contract as the greedy pass) so
+    the cache-pressure fallback can run the plain logits-in ``_decode_chunk``:
+    discarding an un-emitted pending and redrawing from the full warped
+    distribution is law-preserving (the accept/residual split only matters
+    for tokens derived from a draft that stays in the verified cache).
+    """
+    slots = pending.shape[0]
+    pad = gen_cfg.pad_token_id
+    active = ~finished
+    pending = jnp.where(finished, pad, pending)
+
+    corpus = jax.vmap(
+        lambda row, tok, e: jax.lax.dynamic_update_slice(row, tok, (e,))
+    )(corpus, pending[:, None], corpus_end)
+    end2 = corpus_end + active.astype(jnp.int32)
+
+    drafts = lookup_drafts_rows(
+        corpus, end2, gamma, match_len, pad,
+        vocab=model.config.text_config.vocab_size,
+    )
+    block = jnp.concatenate([pending[:, None], drafts], axis=1)  # (slots, g+1)
+
+    embeds = model.apply(variables, block, method=VB.lm_embed)
+    attn_mask = jnp.broadcast_to(
+        active[:, None], (slots, gamma + 1)
+    ).astype(jnp.int32)
+    v_logits, cache = model.apply(
+        variables, embeds, attention_mask=attn_mask, cache=cache,
+        cache_append=True, method=VB.lm_forward,
+    )
+    from ..generation.decoding import _warp_logits
+
+    x = _warp_logits(v_logits.astype(jnp.float32), gen_cfg)  # (slots, g+1, V)
+    probs = jax.nn.softmax(x, axis=-1)
+
+    rng, u_rng, res_rng = jax.random.split(rng, 3)
+    p_draft = jnp.take_along_axis(
+        probs[:, :gamma], drafts[..., None], axis=-1
+    )[..., 0]  # (slots, gamma)
+    u = jax.random.uniform(u_rng, (slots, gamma))
+    accept = u < p_draft
+    a_row = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+
+    # correction: residual resample at the rejected position (draft zeroed),
+    # or the unmasked bonus sample on full acceptance
+    x_sel = jnp.take_along_axis(x, a_row[:, None, None], axis=1)[:, 0]  # (slots, V)
+    d_idx = jnp.minimum(a_row, gamma - 1) if gamma > 0 else jnp.zeros_like(a_row)
+    if gamma > 0:
+        d_sel = jnp.take_along_axis(drafts, d_idx[:, None], axis=1)[:, 0]
+        rejected_here = a_row < gamma
+        vocab_iota = jax.lax.broadcasted_iota(jnp.int32, x_sel.shape, 1)
+        x_masked = jnp.where(
+            rejected_here[:, None] & (vocab_iota == d_sel[:, None]),
+            jnp.finfo(x_sel.dtype).min,
+            x_sel,
+        )
+    else:
+        x_masked = x_sel
+    correction = jax.random.categorical(res_rng, x_masked, axis=-1).astype(jnp.int32)
+
+    # emissions: [pending, d_1..d_a], eos-capped per row (greedy contract)
+    col = jax.lax.broadcasted_iota(jnp.int32, (slots, gamma + 1), 1)
+    valid = (col <= a_row[:, None]) & active[:, None]
+    hits = _is_eos(block, gen_cfg) & valid
+    first_eos = jnp.min(jnp.where(hits, col, gamma + 1), axis=1)
+    n_emit = jnp.where(active, jnp.minimum(a_row, first_eos) + 1, 0)
+    emit = jnp.where(col < n_emit[:, None], block, pad)
+    new_finished = finished | (first_eos <= a_row)
+
+    # cache fixups: identical hole/rollback mechanics to the greedy pass
+    index0 = cache["index"] - (gamma + 1)
+    keep = a_row + 1
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, cache["mask"].shape, 1)
+    reject = (
+        (slot_iota >= index0 + keep[:, None])
+        & (slot_iota < index0 + gamma + 1)
+        & active[:, None]
+    )
+    cache = dict(cache)
+    cache["mask"] = jnp.where(reject, 0, cache["mask"])
+    cache["pos"] = cache["pos"] - jnp.where(active, gamma - a_row, 0)
+
+    new_logits = jnp.take_along_axis(
+        v_logits, a_row[:, None, None], axis=1
+    )[:, 0]
+
+    corpus = jax.vmap(
+        lambda row, tile, e: jax.lax.dynamic_update_slice(row, tile, (e,))
+    )(corpus, drafts, end2)
+    corpus_end = end2 + jnp.where(active, n_emit - 1, 0)
+
+    new_pending = jnp.where(new_finished, pad, correction)
+    return (
+        cache, new_logits, new_pending, new_finished,
+        corpus, corpus_end, rng, emit, n_emit,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gen_cfg", "gamma", "match_len"),
+    donate_argnums=(2, 6),
+)
+def _spec_chunk_t5(
+    model: VB,
+    variables,
+    cache,
+    enc_mask: jax.Array,  # (slots, P)
+    next_tok: jax.Array,  # (slots,) token to FEED next (already emitted, or start)
+    finished: jax.Array,  # (slots,) bool
+    corpus: jax.Array,  # (slots, CL)
+    corpus_end: jax.Array,  # (slots,)
+    gen_cfg: GenerationConfig,
+    rng: jax.Array,
+    gamma: int,
+    match_len: int,
+):
+    """One per-slot prompt-lookup speculative pass for T5 slots.
+
+    T5's decode convention is token-in (``next_tok`` was emitted by the
+    previous pass, or is ``decoder_start_token_id``), so unlike the OPT pass
+    this one emits ``[d_1..d_a, correction]`` — the correction token is
+    emitted IMMEDIATELY and becomes the next pass's ``next_tok``. The verify
+    is one multi-token cache append (``T5Decoder.spec_append``) with
+    intra-block causality and a per-row HOLE-AWARE relative bias: rejected
+    suffixes become mask holes exactly as in the OPT pass, and because T5
+    attention buckets by token distance, the bias is computed over attended
+    tokens (mask cumsum), not raw cache slots. Drafts come from prompt
+    lookup over the ENCODER source + emitted tokens — the classic
+    grounded-generation case (narration echoes its in-context examples).
+
+    ``gamma == 0`` degrades to an exact hole-aware single-token step (the
+    cache-pressure fallback — the plain ``_decode_chunk_t5`` bias is only
+    correct over contiguous windows, so it cannot serve a holed cache).
+
+    Supports greedy and speculative SAMPLING (same per-row rejection rule as
+    ``_spec_chunk_sample``; for T5 the correction is drawn and emitted in
+    the same pass).
+    """
+    slots = next_tok.shape[0]
+    pad = gen_cfg.pad_token_id
+    active = ~finished
+    if gamma > 0:
+        drafts = lookup_drafts_rows(
+            corpus, corpus_end, gamma, match_len, pad,
+            vocab=model.config.text_config.vocab_size,
+        )
+    else:
+        drafts = jnp.zeros((slots, 0), jnp.int32)
+    block = jnp.concatenate([next_tok[:, None], drafts], axis=1)  # (slots, g+1)
+
+    v_logits, cache = model.apply(
+        variables, block, enc_mask, cache, active, method=VB.t5_decode_append
+    )  # (slots, g+1, V)
+
+    if gen_cfg.do_sample:
+        from ..generation.decoding import _warp_logits
+
+        x = _warp_logits(v_logits.astype(jnp.float32), gen_cfg)
+        probs = jax.nn.softmax(x, axis=-1)
+        rng, u_rng, res_rng = jax.random.split(rng, 3)
+        if gamma > 0:
+            p_draft = jnp.take_along_axis(
+                probs[:, :gamma], drafts[..., None], axis=-1
+            )[..., 0]
+            u = jax.random.uniform(u_rng, (slots, gamma))
+            accept = u < p_draft
+            a_row = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+            d_sel = jnp.take_along_axis(
+                drafts, jnp.minimum(a_row, gamma - 1)[:, None], axis=1
+            )[:, 0]
+            x_sel = jnp.take_along_axis(x, a_row[:, None, None], axis=1)[:, 0]
+            vocab_iota = jax.lax.broadcasted_iota(jnp.int32, x_sel.shape, 1)
+            x_masked = jnp.where(
+                (a_row < gamma)[:, None] & (vocab_iota == d_sel[:, None]),
+                jnp.finfo(x_sel.dtype).min,
+                x_sel,
+            )
+        else:
+            a_row = jnp.zeros((slots,), jnp.int32)
+            x_masked = x[:, 0]
+        correction = jax.random.categorical(res_rng, x_masked, axis=-1).astype(jnp.int32)
+    else:
+        targets = jnp.argmax(v_logits, -1).astype(jnp.int32)  # (slots, g+1)
+        if gamma > 0:
+            agree = drafts == targets[:, :gamma]
+            a_row = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)
+        else:
+            a_row = jnp.zeros((slots,), jnp.int32)
+        correction = jnp.take_along_axis(targets, a_row[:, None], axis=1)[:, 0]
+
+    # emissions: [d_1..d_a, correction] — the correction is emitted NOW
+    col = jax.lax.broadcasted_iota(jnp.int32, (slots, gamma + 1), 1)
+    emit0 = jnp.concatenate([drafts, jnp.full((slots, 1), pad, jnp.int32)], axis=1)
+    emit = jnp.where(
+        col < a_row[:, None], emit0,
+        jnp.where(col == a_row[:, None], correction[:, None], pad),
+    )
+    emit = jnp.where(active[:, None], emit, pad)
+    valid = (col <= a_row[:, None]) & active[:, None]
+    hits = _is_eos(emit, gen_cfg) & valid
+    first_eos = jnp.min(jnp.where(hits, col, gamma + 1), axis=1)
+    n_emit = jnp.where(active, jnp.minimum(a_row, first_eos) + 1, 0)
+    emit = jnp.where(col < n_emit[:, None], emit, pad)
+    new_finished = finished | (first_eos <= a_row)
+
+    # cache fixups: the kept prefix is [next_tok, d_1..d_a] (the correction
+    # is fed next pass); zero each row's rejected suffix — no "pos" to roll
+    # back, the hole-aware bias recomputes distances from the mask
+    index0 = cache["index"] - (gamma + 1)
+    keep = a_row + 1
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, cache["mask"].shape, 1)
+    reject = (
+        (slot_iota >= index0 + keep[:, None])
+        & (slot_iota < index0 + gamma + 1)
+        & active[:, None]
+    )
+    cache = dict(cache)
+    cache["mask"] = jnp.where(reject, 0, cache["mask"])
+
+    corpus = jax.vmap(
+        lambda row, tile, e: jax.lax.dynamic_update_slice(row, tile, (e,))
+    )(corpus, emit, corpus_end)
+    corpus_end = corpus_end + n_emit
+
+    new_next = jnp.where(new_finished, pad, correction)
+    return cache, new_next, new_finished, corpus, corpus_end, rng, emit, n_emit
+
+
+@functools.partial(jax.jit, static_argnames=("model",), donate_argnums=(2,))
+def _t5_replay(model, variables, cache, enc_mask, block, pos_mask):
+    """Rebuild one evicted T5 row's decoder cache by replaying its token
+    block ``[start, e_1..e_{n-1}]`` (right-padded to a bucket; ``pos_mask``
+    (slots, W) marks the real positions of the victim row and is all-zero
+    elsewhere). One ``spec_append`` pass — logits discarded; other rows'
+    windows are untouched (their writes are masked), though the shared index
+    advances by the block width."""
+    logits, cache = model.apply(
+        variables, block, enc_mask, cache, pos_mask.astype(bool),
+        method=VB.t5_decode_append,
+    )
+    del logits
+    return cache
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _blank_mask_row(cache, slot):
+    cache = dict(cache)
+    cache["mask"] = jax.lax.dynamic_update_slice(
+        cache["mask"],
+        jnp.zeros((1, cache["mask"].shape[1]), cache["mask"].dtype),
+        (slot, 0),
+    )
+    return cache
+
+
+@functools.partial(jax.jit, static_argnames=("gen_cfg",))
+def _sample_pending_slot(logits, pending, slot, rng, gen_cfg: GenerationConfig):
+    """Draw one slot's pending token from its prefill logits (admission in
+    speculative-sampling mode; the greedy mode re-derives pendings by argmax
+    instead)."""
+    row = jax.lax.dynamic_index_in_dim(logits, slot, 0)  # (1, V)
+    tok = _select_token(row.astype(jnp.float32), gen_cfg, rng)[0]
+    return pending.at[slot].set(tok)
+
+
+@functools.partial(jax.jit, static_argnames=("gen_cfg",))
+def _sample_pending_all(logits, finished, rng, gen_cfg: GenerationConfig):
+    """Redraw every unfinished row's pending from the carried logits (after a
+    plain-decode pressure chunk in sampling mode; law-preserving because the
+    discarded pendings were never emitted or fed)."""
+    tok = _select_token(logits.astype(jnp.float32), gen_cfg, rng)
+    return jnp.where(finished, gen_cfg.pad_token_id, tok)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_corpus_row(corpus, row, slot):
     """Reset one slot's lookup-corpus row at admission (donated in-place)."""
@@ -512,16 +835,6 @@ class ContinuousBatchingEngine:
                     f"unknown speculative mode {speculative!r}; "
                     "supported: 'prompt_lookup'"
                 )
-            if self._is_t5:
-                raise NotImplementedError(
-                    "speculative serving is decoder-only: the T5 decode path "
-                    "has no multi-token cache-append verify (t5_decode_step "
-                    "is token-in/logits-out)"
-                )
-            if generation_config.do_sample:
-                raise NotImplementedError(
-                    "speculative serving implements greedy only"
-                )
         self._spec = speculative
         self.spec_gamma = spec_gamma
         self.spec_match_len = spec_match_len
@@ -551,6 +864,7 @@ class ContinuousBatchingEngine:
             "spec_rows": 0,
             "spec_fallback_chunks": 0,
             "evictions": 0,
+            "defrags": 0,
         }
         # emissions carried across an eviction (rid -> tokens already emitted);
         # restored when the continuation request re-admits
@@ -653,9 +967,20 @@ class ContinuousBatchingEngine:
             )
             self._logits = jnp.zeros((self.max_slots, tcfg.vocab_size), self._dtype)
         if self._spec is not None:
-            cl = self.max_len + self.spec_extra_corpus + self.spec_gamma + 2
+            if self._is_t5:
+                # prompt corpus lives beside (not inside) the decode window
+                cl = (
+                    self.max_prompt_len + self.max_len
+                    + self.spec_extra_corpus + self.spec_gamma + 2
+                )
+            else:
+                cl = self.max_len + self.spec_extra_corpus + self.spec_gamma + 2
             self._corpus = jnp.full((self.max_slots, cl), -1, jnp.int32)
             self._corpus_end = jnp.zeros((self.max_slots,), jnp.int32)
+            if self.gen_cfg.do_sample:
+                self._pending = jnp.full(
+                    (self.max_slots,), self.gen_cfg.pad_token_id, jnp.int32
+                )
         self._finished = jnp.ones((self.max_slots,), bool)  # inactive == finished
         self._active: list[Optional[Request]] = [None] * self.max_slots
         self._emitted: list[list[int]] = [[] for _ in range(self.max_slots)]
@@ -680,14 +1005,34 @@ class ContinuousBatchingEngine:
             self._compact()
         if int(self._cache["index"]) + g + 1 > self.max_len:
             return self._pressure_step()
-        (
-            self._cache, self._logits, self._finished,
-            self._corpus, self._corpus_end, emit, n_emit,
-        ) = _spec_chunk(
-            self.model, self.variables, self._cache, self._logits,
-            self._finished, self._corpus, self._corpus_end, self.gen_cfg,
-            g, self.spec_match_len,
-        )
+        if self._is_t5:
+            (
+                self._cache, self._next_tok, self._finished,
+                self._corpus, self._corpus_end, self._rng, emit, n_emit,
+            ) = _spec_chunk_t5(
+                self.model, self.variables, self._cache, self._enc_mask,
+                self._next_tok, self._finished, self._corpus,
+                self._corpus_end, self.gen_cfg, self._rng, g,
+                self.spec_match_len,
+            )
+        elif self.gen_cfg.do_sample:
+            (
+                self._cache, self._logits, self._pending, self._finished,
+                self._corpus, self._corpus_end, self._rng, emit, n_emit,
+            ) = _spec_chunk_sample(
+                self.model, self.variables, self._cache, self._pending,
+                self._finished, self._corpus, self._corpus_end, self.gen_cfg,
+                self._rng, g, self.spec_match_len,
+            )
+        else:
+            (
+                self._cache, self._logits, self._finished,
+                self._corpus, self._corpus_end, emit, n_emit,
+            ) = _spec_chunk(
+                self.model, self.variables, self._cache, self._logits,
+                self._finished, self._corpus, self._corpus_end, self.gen_cfg,
+                g, self.spec_match_len,
+            )
         self._chunk_count += 1
         n_emit_np = np.asarray(n_emit)
         self.stats["spec_passes"] += 1
@@ -700,6 +1045,36 @@ class ContinuousBatchingEngine:
     def _pressure_step(self) -> list[Completion]:
         """Speculative cache-pressure fallback: plain decode, then eviction."""
         idx = int(self._cache["index"])
+        if self._is_t5:
+            if idx + 1 <= self.max_len:
+                # hole-aware single-token step (gamma=0): the plain T5 chunk
+                # bias is only correct over contiguous windows, so it cannot
+                # serve a holed cache — the spec pass with no drafts can
+                (
+                    self._cache, self._next_tok, self._finished,
+                    self._corpus, self._corpus_end, self._rng, emit, n_emit,
+                ) = _spec_chunk_t5(
+                    self.model, self.variables, self._cache, self._enc_mask,
+                    self._next_tok, self._finished, self._corpus,
+                    self._corpus_end, self.gen_cfg, self._rng, 0,
+                    self.spec_match_len,
+                )
+                self._chunk_count += 1
+                self.stats["spec_fallback_chunks"] += 1
+                return self._harvest(
+                    np.asarray(emit), np.asarray(self._finished),
+                    n_valid=np.asarray(n_emit),
+                )
+            if self._evict_one_t5():
+                return self.step()
+            if self._defrag_t5():
+                return self.step()
+            raise RuntimeError(
+                f"speculative serving deadlock: cache index "
+                f"{idx} cannot fit one more token in max_len={self.max_len} "
+                f"and no active row's replay would fit even after a full "
+                f"defrag; raise max_len or lower spec_gamma"
+            )
         for chunk in (self.chunk_tokens, 1):
             if idx + chunk <= self.max_len:
                 finished_before = np.asarray(self._finished)
@@ -715,6 +1090,13 @@ class ContinuousBatchingEngine:
                     self._corpus, self._corpus_end, toks,
                     jnp.asarray(~finished_before),
                 )
+                if self.gen_cfg.do_sample:
+                    # the pre-pressure pendings were never emitted or fed;
+                    # redraw them from the chunk's final logits (exact law)
+                    self._rng, sub = jax.random.split(self._rng)
+                    self._pending = _sample_pending_all(
+                        self._logits, self._finished, sub, self.gen_cfg
+                    )
                 return self._harvest(np.asarray(toks), np.asarray(self._finished))
         if self._evict_one():
             self._compact()
@@ -773,6 +1155,98 @@ class ContinuousBatchingEngine:
             self.stats["evictions"] += 1
             return True
         return False
+
+    def _evict_one_t5(self) -> bool:
+        """T5 evict-and-replay: blank the compaction-pinning row's self-cache
+        mask, compact, then REBUILD the row in place by replaying its decoder
+        tokens ``[start, e_1..e_{n-1}]`` through one write-masked
+        ``spec_append`` pass (``_t5_replay``). Unlike the OPT eviction, the
+        request never re-queues: its per-slot cross K/V buffers are position-
+        independent and stay valid, so no encoder re-pass is needed, and the
+        row resumes with ``next_tok = e_n`` exactly where it left off (greedy:
+        token-identical by construction; sampling: law-preserving, the
+        replayed tokens are the committed emissions)."""
+        index = int(self._cache["index"])
+        mask_np = np.asarray(self._cache["mask"])[:, :index]
+        starts = {
+            slot: (int(np.argmax(mask_np[slot])) if mask_np[slot].any() else index)
+            for slot, req in enumerate(self._active)
+            if req is not None
+        }
+        b = self.prefill_bucket
+        tcfg: T5Config = self.model.config.text_config
+        for slot, _ in sorted(starts.items(), key=lambda kv: kv[1]):
+            emitted = self._emitted[slot]
+            if not emitted:
+                continue  # empty live window never pins compaction
+            n = len(emitted)  # block = [start] + emitted[:-1]
+            w = -(-n // b) * b
+            others = [s for s, st in starts.items() if s != slot]
+            delta = min((starts[s] for s in others), default=index)
+            if (index - delta) + w + 1 > self.max_len:
+                continue  # replay would not fit even after compaction
+            self._cache = _blank_mask_row(
+                self._cache, jnp.asarray(slot, jnp.int32)
+            )
+            self._compact()
+            toks = [tcfg.decoder_start_token_id] + [int(t) for t in emitted[:-1]]
+            block = np.full((self.max_slots, w), self.gen_cfg.pad_token_id, np.int32)
+            block[slot, :n] = toks
+            pos_mask = np.zeros((self.max_slots, w), np.int32)
+            pos_mask[slot, :n] = 1
+            self._cache = _t5_replay(
+                self.model, self.variables, self._cache, self._enc_mask,
+                jnp.asarray(block), jnp.asarray(pos_mask),
+            )
+            self._next_tok = self._next_tok.at[slot].set(int(emitted[-1]))
+            self.stats["evictions"] += 1
+            return True
+        return False
+
+    def _defrag_t5(self) -> bool:
+        """Full T5 defrag: when every active row's live window starts near 0
+        (e.g. simultaneous admissions), single-victim replay can never
+        reclaim space — each victim's replay is pinned by the OTHERS'
+        prefixes. Instead blank ALL rows' masks, compact the whole (now dead)
+        prefix to index 0, and rebuild every row's committed tokens in ONE
+        write-masked ``spec_append`` pass (rows shorter than the widest
+        replay keep masked holes, which the hole-aware bias handles). Index
+        drops from max_len-ish to ``bucket(max emitted)``."""
+        actives = [
+            (slot, self._emitted[slot])
+            for slot, req in enumerate(self._active)
+            if req is not None
+        ]
+        if not actives:
+            return False
+        n_max = max(len(e) for _, e in actives)
+        if n_max == 0:
+            return False  # nothing replayable: windows are already empty
+        b = self.prefill_bucket
+        w = -(-n_max // b) * b
+        if w + 1 > self.max_len:
+            return False  # genuine sizing error; caller raises
+        for slot, _ in actives:
+            self._cache = _blank_mask_row(self._cache, jnp.asarray(slot, jnp.int32))
+        self._compact()  # every mask is blank -> index drops to 0
+        tcfg: T5Config = self.model.config.text_config
+        block = np.full((self.max_slots, w), self.gen_cfg.pad_token_id, np.int32)
+        pos_mask = np.zeros((self.max_slots, w), np.int32)
+        for slot, emitted in actives:
+            n = len(emitted)
+            if n == 0:
+                continue
+            block[slot, :n] = [tcfg.decoder_start_token_id] + [
+                int(t) for t in emitted[:-1]
+            ]
+            pos_mask[slot, :n] = 1
+            self._next_tok = self._next_tok.at[slot].set(int(emitted[-1]))
+        self._cache = _t5_replay(
+            self.model, self.variables, self._cache, self._enc_mask,
+            jnp.asarray(block), jnp.asarray(pos_mask),
+        )
+        self.stats["defrags"] += 1
+        return True
 
     def _write_spec_corpus(self, slot, ids, mask, vim, w, extra=None) -> None:
         """Reset the slot's lookup-corpus row at admission: the W-wide padded
@@ -881,6 +1355,12 @@ class ContinuousBatchingEngine:
             )
             if self._spec is not None:
                 self._write_spec_corpus(slot, ids, mask, vim, w, req.extra_corpus)
+                if self.gen_cfg.do_sample:
+                    self._rng, sub = jax.random.split(self._rng)
+                    self._pending = _sample_pending_slot(
+                        self._logits, self._pending,
+                        jnp.asarray(slot, jnp.int32), sub, self.gen_cfg,
+                    )
             self._active[slot] = req
             self._emitted[slot] = self._carry_emitted.pop(req.rid, [])
             self._admitted_chunk[slot] = self._chunk_count
@@ -936,6 +1416,10 @@ class ContinuousBatchingEngine:
                 jnp.asarray(mask[None], jnp.int32),
                 jnp.asarray(slot, jnp.int32),
             )
+            if self._spec is not None:
+                # T5 lookup corpus: the ENCODER source tokens (narration
+                # echoes its in-context examples / summaries copy spans)
+                self._write_spec_corpus(slot, ids, mask, vim, w, req.extra_corpus)
             self._active[slot] = req
             self._emitted[slot] = []
             self._admitted_chunk[slot] = self._chunk_count

@@ -251,23 +251,8 @@ def test_spec_engine_eviction_recompute(world):
     assert eng.stats["evictions"] >= 1
 
 
-def test_spec_engine_rejects_t5_and_sampling(world):
+def test_spec_engine_rejects_unknown_mode(world):
     cfg, model, variables, make_request = world
-    with pytest.raises(NotImplementedError):
-        _spec_engine(
-            model,
-            variables,
-            GenerationConfig(max_new_tokens=4, pad_token_id=1, do_sample=True),
-        )
-    t5cfg = configs.tiny_config(text_model="t5")
-    t5 = VideoBlipForConditionalGeneration(t5cfg, dtype=jnp.float32)
-    with pytest.raises(NotImplementedError):
-        ContinuousBatchingEngine(
-            t5,
-            {"params": {}},
-            GenerationConfig(max_new_tokens=4, pad_token_id=0),
-            speculative="prompt_lookup",
-        )
     with pytest.raises(ValueError):
         ContinuousBatchingEngine(
             model,
@@ -303,3 +288,280 @@ def test_spec_engine_int8_kv(world):
     done = eng.run([dataclasses.replace(r) for r in requests])
     for rid in range(3):
         np.testing.assert_array_equal(done[rid].tokens, ref[rid], err_msg=str(rid))
+
+
+# ---------------------------------------------------------------------------
+# speculative SAMPLING (engine.py _spec_chunk_sample)
+# ---------------------------------------------------------------------------
+
+
+def test_spec_sampling_point_mass_equals_greedy(world):
+    """temperature -> 0 makes the warped distribution a point mass, so the
+    speculative-sampling engine must emit exactly the greedy tokens — a full
+    exactness check of the sampling pass's cache/hole/corpus machinery."""
+    cfg, model, variables, make_request = world
+    greedy_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=1)
+    requests = [make_request(seed, extra_text=seed % 3) for seed in range(4)]
+    ref = _reference_rows(model, variables, greedy_cfg, requests)
+
+    sample_cfg = GenerationConfig(
+        max_new_tokens=6, pad_token_id=1, do_sample=True, temperature=1e-7
+    )
+    for seed in (0, 7):
+        eng = _spec_engine(
+            model, variables, sample_cfg, rng=jax.random.PRNGKey(seed)
+        )
+        done = eng.run([dataclasses.replace(r) for r in requests])
+        for rid in range(4):
+            np.testing.assert_array_equal(
+                done[rid].tokens, ref[rid], err_msg=f"seed={seed} rid={rid}"
+            )
+        assert eng.stats["spec_passes"] > 0
+
+
+def test_spec_sampling_point_mass_under_pressure(world):
+    """Point-mass sampling stays exact through compaction, the plain-decode
+    pressure fallback (which redraws pendings), and evict-and-recompute."""
+    cfg, model, variables, make_request = world
+    greedy_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=1)
+    requests = [make_request(seed) for seed in range(5)]
+    ref = _reference_rows(model, variables, greedy_cfg, requests)
+
+    sample_cfg = GenerationConfig(
+        max_new_tokens=6, pad_token_id=1, do_sample=True, temperature=1e-7
+    )
+    eng = _spec_engine(model, variables, sample_cfg, max_len=48, max_slots=2)
+    done = eng.run([dataclasses.replace(r) for r in requests])
+    for rid in range(5):
+        np.testing.assert_array_equal(done[rid].tokens, ref[rid], err_msg=str(rid))
+    assert (
+        eng.stats["compactions"]
+        + eng.stats["resets"]
+        + eng.stats["spec_fallback_chunks"]
+        > 0
+    )
+
+
+def test_spec_sampling_eos_pad_contract(world):
+    """Wherever an eos is emitted under sampling, later positions are pad."""
+    cfg, model, variables, make_request = world
+    gen_cfg = GenerationConfig(
+        max_new_tokens=8, pad_token_id=1, eos_token_id=(5, 9),
+        do_sample=True, temperature=3.0,
+    )
+    req = make_request(3)
+    saw_eos = False
+    for seed in range(20):
+        eng = _spec_engine(
+            model, variables, gen_cfg, rng=jax.random.PRNGKey(seed)
+        )
+        done = eng.run([dataclasses.replace(req)])
+        row = done[0].tokens
+        eos_pos = np.where((row == 5) | (row == 9))[0]
+        if eos_pos.size:
+            saw_eos = True
+            assert np.all(row[eos_pos[0] + 1 :] == 1)
+    assert saw_eos, "temperature 3.0 over 20 seeds never emitted eos — bad setup"
+
+
+# ---------------------------------------------------------------------------
+# speculative T5 (engine.py _spec_chunk_t5 / models/t5.py spec_append)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def t5_world():
+    cfg = configs.tiny_config(text_model="t5")
+    model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.float32)
+    t, s = 2, 14
+    img = cfg.vision_config.image_size
+    q = cfg.num_query_tokens
+
+    def make_request(seed, extra_text=0):
+        r = np.random.default_rng(seed)
+        p = s + extra_text
+        ids = r.integers(4, cfg.text_config.vocab_size, size=(p,))
+        vim = np.zeros((p,), np.int64)
+        vim[1 : 1 + q] = 1
+        pixel = r.normal(size=(1, 3, t, img, img)).astype(np.float32)
+        return Request(input_ids=ids, pixel_values=pixel, video_input_mask=vim)
+
+    first = make_request(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(first.input_ids[None]),
+        pixel_values=jnp.asarray(first.pixel_values),
+        video_input_mask=jnp.asarray(first.video_input_mask[None]),
+        labels=jnp.asarray(np.zeros((1, 3), np.int64)),
+    )["params"]
+    return cfg, model, {"params": params}, make_request
+
+
+def _t5_want(ref_row, completion, pad):
+    """Isolated seq2seq generate prepends decoder_start_token_id; engine rows
+    are the NEW tokens only (same contract as the plain T5 engine tests)."""
+    want = np.full_like(completion.tokens, pad)
+    got_ref = ref_row[1:]
+    want[: len(got_ref)] = got_ref
+    return want
+
+
+def test_spec_t5_matches_isolated_generate(t5_world):
+    """Greedy T5 speculative serving is token-identical to isolated generate
+    across staggered admission — the hole-aware relative bias (spec_append's
+    attended-token distances) must reproduce the contiguous-cache bias."""
+    cfg, model, variables, make_request = t5_world
+    pad = cfg.text_config.pad_token_id
+    gen_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=pad)
+    requests = [make_request(seed, extra_text=seed % 3) for seed in range(4)]
+    ref = _reference_rows(model, variables, gen_cfg, requests)
+
+    eng = ContinuousBatchingEngine(
+        model, variables, gen_cfg, speculative="prompt_lookup",
+        max_slots=2, max_len=64, prefill_bucket=8, max_prompt_len=24,
+        spec_gamma=3, spec_match_len=2,
+    )
+    done = {}
+    eng.submit(dataclasses.replace(requests[0]))
+    for c in eng.step():
+        done[c.rid] = c
+    for r in requests[1:]:
+        eng.submit(dataclasses.replace(r))
+    while not eng.idle:
+        for c in eng.step():
+            done[c.rid] = c
+    assert sorted(done) == [0, 1, 2, 3]
+    for rid, completion in done.items():
+        np.testing.assert_array_equal(
+            completion.tokens, _t5_want(ref[rid], completion, pad), err_msg=str(rid)
+        )
+    assert eng.stats["spec_passes"] > 0
+
+
+def test_spec_t5_extra_corpus_acceptance(t5_world):
+    """With the true continuation in extra_corpus, the T5 matcher accepts >1
+    token/pass overall, and outputs stay exact (drafts never leak to output)."""
+    cfg, model, variables, make_request = t5_world
+    pad = cfg.text_config.pad_token_id
+    gen_cfg = GenerationConfig(max_new_tokens=8, pad_token_id=pad)
+    base = make_request(11)
+    ref = _reference_rows(model, variables, gen_cfg, [base])[0]
+    continuation = np.asarray([int(t) for t in ref[1:]], np.int64)
+
+    eng = ContinuousBatchingEngine(
+        model, variables, gen_cfg, speculative="prompt_lookup",
+        max_slots=2, max_len=64, prefill_bucket=8, max_prompt_len=24,
+        spec_gamma=4, spec_match_len=1, spec_extra_corpus=32,
+    )
+    done = eng.run([dataclasses.replace(base, extra_corpus=continuation)])
+    np.testing.assert_array_equal(
+        done[0].tokens, _t5_want(ref, done[0], pad)
+    )
+    assert eng.stats["spec_tokens"] > eng.stats["spec_rows"]
+
+
+def test_spec_t5_pressure_fallback_and_eviction(t5_world):
+    """A decoder cache too small for the speculative windows forces the
+    gamma=0 hole-aware fallback and the T5 evict-and-replay path; outputs
+    stay token-identical (greedy)."""
+    cfg, model, variables, make_request = t5_world
+    pad = cfg.text_config.pad_token_id
+    gen_cfg = GenerationConfig(max_new_tokens=8, pad_token_id=pad)
+    requests = [make_request(seed) for seed in range(4)]
+    ref = _reference_rows(model, variables, gen_cfg, requests)
+
+    # spec windows burn gamma+1=4 cache slots/pass at ~1 realized token; a
+    # 14-wide window cannot hold two rows' full budgets, so the engine must
+    # compact, degrade to gamma=0 single-token steps, and finally evict+replay
+    eng = ContinuousBatchingEngine(
+        model, variables, gen_cfg, speculative="prompt_lookup",
+        max_slots=2, max_len=14, prefill_bucket=4, max_prompt_len=24,
+        spec_gamma=3, spec_match_len=2,
+    )
+    done = eng.run([dataclasses.replace(r) for r in requests])
+    for rid in range(4):
+        np.testing.assert_array_equal(
+            done[rid].tokens, _t5_want(ref[rid], done[rid], pad), err_msg=str(rid)
+        )
+    assert (
+        eng.stats["spec_fallback_chunks"]
+        + eng.stats["evictions"]
+        + eng.stats["defrags"]
+        > 0
+    )
+
+
+def test_spec_t5_sampling_point_mass_equals_greedy(t5_world):
+    """temperature -> 0 point mass: the T5 speculative-SAMPLING engine must
+    emit exactly the greedy tokens (exactness of the accept/residual rule and
+    the shared cache machinery under the sampling law)."""
+    cfg, model, variables, make_request = t5_world
+    pad = cfg.text_config.pad_token_id
+    greedy_cfg = GenerationConfig(max_new_tokens=6, pad_token_id=pad)
+    requests = [make_request(seed, extra_text=seed % 2) for seed in range(3)]
+    ref = _reference_rows(model, variables, greedy_cfg, requests)
+
+    sample_cfg = GenerationConfig(
+        max_new_tokens=6, pad_token_id=pad, do_sample=True, temperature=1e-7
+    )
+    for seed in (0, 5):
+        eng = ContinuousBatchingEngine(
+            model, variables, sample_cfg, speculative="prompt_lookup",
+            max_slots=2, max_len=64, prefill_bucket=8, max_prompt_len=24,
+            spec_gamma=3, spec_match_len=2, rng=jax.random.PRNGKey(seed),
+        )
+        done = eng.run([dataclasses.replace(r) for r in requests])
+        for rid in range(3):
+            np.testing.assert_array_equal(
+                done[rid].tokens, _t5_want(ref[rid], done[rid], pad),
+                err_msg=f"seed={seed} rid={rid}",
+            )
+        assert eng.stats["spec_passes"] > 0
+
+
+@pytest.mark.slow
+def test_spec_sampling_marginals_match_plain_sampling(world):
+    """Per-position empirical marginals of the speculative-sampling engine
+    match the plain sampling loop (the Leviathan/Chen guarantee, per slot).
+    Fixed seed list -> deterministic; top_k=4 bounds the support."""
+    cfg, model, variables, make_request = world
+    tcfg = cfg.text_config
+    gen_cfg = GenerationConfig(
+        max_new_tokens=3, pad_token_id=1, eos_token_id=(),
+        do_sample=True, temperature=1.3, top_k=4,
+    )
+    reqs = [make_request(0), make_request(1)]
+
+    n = 400
+    plain, spec = [], []
+    for seed in range(n):
+        key = jax.random.PRNGKey(seed)
+        plain.append(
+            np.stack(
+                [
+                    np.asarray(
+                        generate(
+                            model, variables,
+                            input_ids=jnp.asarray(r.input_ids[None]),
+                            pixel_values=jnp.asarray(r.pixel_values),
+                            video_input_mask=jnp.asarray(r.video_input_mask[None]),
+                            generation_config=gen_cfg,
+                            rng=jax.random.fold_in(key, i),
+                        )
+                    )[0]
+                    for i, r in enumerate(reqs)
+                ]
+            )
+        )
+        eng = _spec_engine(model, variables, gen_cfg, rng=key)
+        done = eng.run([dataclasses.replace(r) for r in reqs])
+        spec.append(np.stack([done[0].tokens, done[1].tokens]))
+
+    plain = np.stack(plain)  # (N, 2, L)
+    spec = np.stack(spec)
+    for b in range(2):
+        for pos in range(3):
+            pc = np.bincount(plain[:, b, pos], minlength=tcfg.vocab_size) / n
+            sc = np.bincount(spec[:, b, pos], minlength=tcfg.vocab_size) / n
+            tv = 0.5 * np.abs(pc - sc).sum()
+            assert tv < 0.15, f"(row, pos)=({b}, {pos}): TV={tv:.3f}"
