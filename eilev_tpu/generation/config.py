@@ -85,6 +85,13 @@ class GenerationConfig:
     # comparison there); for greedy/sampling both argmax and categorical are
     # shift-invariant, exactly as in HF.
     renormalize_logits: bool = False
+    # HF contrastive search (penalty_alpha > 0 and top_k > 1 with
+    # num_beams == 1 and do_sample=False, exactly HF's mode selection):
+    # score = (1 - alpha) * p(candidate) - alpha * max cossim(candidate
+    # hidden, context hiddens). Fixed-shape implementation in
+    # decoding._contrastive_decoder_only; any other mode ignores it, as HF
+    # does.
+    penalty_alpha: float = 0.0
 
     @property
     def has_logits_processors(self) -> bool:
@@ -147,6 +154,7 @@ _SUPPORTED_JSON_KEYS = {
     "exponential_decay_length_penalty": "exponential_decay_length_penalty",
     "remove_invalid_values": "remove_invalid_values",
     "renormalize_logits": "renormalize_logits",
+    "penalty_alpha": "penalty_alpha",
     # Accepted for parity with HF's behavior on the inputs_embeds path the
     # reference drives (v2.py:318-322 passes no input_ids to LM generate):
     # HF builds EncoderRepetitionPenalty/EncoderNoRepeatNGram from the
@@ -182,7 +190,6 @@ def generation_config_from_json(
     instead of dying as a bare ``TypeError`` downstream.
     """
     known_unsupported = {
-        "penalty_alpha",
         "diversity_penalty",
         "num_beam_groups",
         "force_words_ids",
@@ -237,6 +244,9 @@ def generation_config_from_json(
             value = tuple((tuple(seq), float(bias)) for seq, bias in value)
         elif key == "exponential_decay_length_penalty" and value is not None:
             value = (int(value[0]), float(value[1]))
+        elif key == "penalty_alpha":
+            # HF default is null (off); our dataclass encodes off as 0.0
+            value = 0.0 if value is None else float(value)
         kwargs[_SUPPORTED_JSON_KEYS[key]] = value
     if kwargs.get("max_length") is not None:
         if "max_new_tokens" in kwargs:

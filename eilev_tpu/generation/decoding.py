@@ -487,6 +487,105 @@ def _greedy_sample_decoder_only(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("model", "gen_cfg"))
+def _contrastive_decoder_only(
+    model: VB,
+    variables,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    gen_cfg: GenerationConfig,
+) -> jax.Array:
+    """HF contrastive search (`penalty_alpha`), fixed-shape and cache-surgery
+    free. Reference contract: the CLI forwards arbitrary GenerationConfig
+    JSON to HF generate (/root/reference/scripts/general/
+    generate_narration_texts.py:203), where ``penalty_alpha > 0, top_k > 1``
+    selects ``GenerationMixin._contrastive_search``.
+
+    HF's implementation repeat_interleaves the KV cache k times, runs the k
+    candidates as a B*k batch, then REORDERS the cache to the selected
+    branch. TPU-first restructuring: the k candidates all sit at the SAME
+    next position over the SAME prefix, so the expansion is one
+    ``score_with_prefix`` pass (C=k single-token continuations over the
+    shared read-only cache — the classify machinery, models/opt.py) with no
+    cache duplication and no rollback; the selected token then commits
+    through the ordinary single-token cached step (numerically the same
+    values the expansion computed for that candidate). Context hidden states
+    (HF ``hidden_states[-1]``) accumulate in a fixed (B, S+max_new, D)
+    buffer; the degeneration penalty is the max cosine similarity against
+    the filled prefix of that buffer (prompt pads included, exactly like
+    HF). Early-exits when every row has emitted eos.
+    """
+    b, s, _ = inputs_embeds.shape
+    k = gen_cfg.top_k
+    alpha = gen_cfg.penalty_alpha
+    max_new = gen_cfg.max_new_tokens
+    tcfg: OPTConfig = model.config.text_config
+    cache = opt_mod.init_cache(tcfg, b, s + max_new, dtype=inputs_embeds.dtype)
+    logits, hidden, cache = model.apply(
+        variables, inputs_embeds, attention_mask=attention_mask, cache=cache,
+        method=VB.lm_forward_hidden,
+    )
+    d = hidden.shape[-1]
+    hbuf = jnp.zeros((b, s + max_new, d), jnp.float32)
+    hbuf = jax.lax.dynamic_update_slice(hbuf, hidden.astype(jnp.float32), (0, 0, 0))
+    out_buf = jnp.full((b, max_new), gen_cfg.pad_token_id, jnp.int32)
+
+    def cond(carry):
+        step, _, _, _, finished, _ = carry
+        return jnp.logical_and(step < max_new, ~jnp.all(finished))
+
+    def body(carry):
+        step, cache, logits, hbuf, finished, out = carry
+        x = logits.astype(jnp.float32)
+        if gen_cfg.has_logits_processors:
+            x = _process_scores(x, gen_cfg, out, step, step)
+        probs = jax.nn.softmax(x, axis=-1)
+        top_p, top_ids = jax.lax.top_k(probs, k)  # (B, k)
+
+        cand_embeds = model.apply(variables, top_ids, method=VB.lm_embed)
+        cand_logits, cand_hidden = model.apply(
+            variables, cand_embeds, cache, method=VB.lm_candidates
+        )  # (B, k, V), (B, k, D)
+
+        ch = cand_hidden.astype(jnp.float32)
+        ctx = hbuf  # (B, T, D); positions >= s+step are zeros and masked out
+        ch_n = jnp.linalg.norm(ch, axis=-1)  # (B, k)
+        ctx_n = jnp.linalg.norm(ctx, axis=-1)  # (B, T)
+        dots = jnp.einsum("bkd,btd->bkt", ch, ctx)
+        # torch.nn.functional.cosine_similarity eps contract
+        denom = jnp.maximum(ch_n[:, :, None] * ctx_n[:, None, :], 1e-8)
+        cos = dots / denom
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ctx.shape[1]), 2)
+        valid = t_iota < (s + step)
+        penalty = jnp.max(jnp.where(valid, cos, -jnp.inf), axis=-1)  # (B, k)
+
+        score = (1.0 - alpha) * top_p - alpha * penalty
+        sel = jnp.argmax(score, axis=-1)  # (B,)
+        tok = jnp.take_along_axis(top_ids, sel[:, None], axis=1)[:, 0]
+        tok = jnp.where(finished, gen_cfg.pad_token_id, tok)
+        new_finished = finished | _is_eos(tok, gen_cfg)
+        out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, step))
+
+        # commit: ordinary cached step for the selected token (same math the
+        # expansion already did for that candidate; writes its K/V + hidden)
+        embeds = model.apply(variables, tok[:, None], method=VB.lm_embed)
+        next_logits, next_hidden, cache = model.apply(
+            variables, embeds, attention_mask=jnp.ones((b, 1), jnp.int32),
+            cache=cache, method=VB.lm_forward_hidden,
+        )
+        hbuf = jax.lax.dynamic_update_slice(
+            hbuf, next_hidden.astype(jnp.float32), (0, s + step, 0)
+        )
+        return (step + 1, cache, next_logits[:, -1], hbuf, new_finished, out)
+
+    carry = (
+        jnp.zeros((), jnp.int32), cache, logits[:, -1], hbuf,
+        jnp.zeros((b,), bool), out_buf,
+    )
+    _, _, _, _, _, out = jax.lax.while_loop(cond, body, carry)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # streaming generation (decoder-only)
 # ---------------------------------------------------------------------------
@@ -574,6 +673,15 @@ def generate_stream(
         raise NotImplementedError(
             "num_return_sequences > 1 cannot stream (rows would interleave "
             "mid-yield); use generate()"
+        )
+    if (
+        generation_config.penalty_alpha
+        and generation_config.penalty_alpha > 0
+        and generation_config.top_k > 1
+        and not generation_config.do_sample
+    ):
+        raise NotImplementedError(
+            "contrastive search (penalty_alpha) does not stream; use generate()"
         )
     gen_cfg = generation_config
     if gen_cfg.eos_token_id is None:
@@ -1124,6 +1232,19 @@ def generate(
     if gen_cfg.eos_token_id is None:
         gen_cfg = gen_cfg.with_eos(cfg.text_config.eos_token_id)
     _validate_num_return_sequences(gen_cfg)
+    if (
+        gen_cfg.penalty_alpha
+        and gen_cfg.penalty_alpha > 0
+        and gen_cfg.top_k > 1
+        and gen_cfg.num_beams == 1
+        and not gen_cfg.do_sample
+        and not isinstance(cfg.text_config, OPTConfig)
+    ):
+        raise NotImplementedError(
+            "contrastive search (penalty_alpha) is implemented for the "
+            "decoder-only family; for T5 drop penalty_alpha (or set top_k=1) "
+            "to fall back to greedy"
+        )
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if attention_mask is None:
@@ -1168,10 +1289,29 @@ def generate(
             inputs_embeds.shape[1] if isinstance(cfg.text_config, OPTConfig) else 1
         ),
     )
+    # HF mode selection: contrastive search iff num_beams == 1,
+    # do_sample=False, top_k > 1 and penalty_alpha > 0; every other mode
+    # ignores penalty_alpha (transformers GenerationMode resolution)
+    contrastive = (
+        gen_cfg.penalty_alpha is not None
+        and gen_cfg.penalty_alpha > 0
+        and gen_cfg.top_k > 1
+        and gen_cfg.num_beams == 1
+        and not gen_cfg.do_sample
+    )
     if isinstance(cfg.text_config, OPTConfig):
         if gen_cfg.num_beams > 1:
             return _beam_search_decoder_only(
                 model, variables, inputs_embeds, attention_mask, gen_cfg, rng
+            )
+        if contrastive:
+            if draft is not None or draft_layers:
+                raise NotImplementedError(
+                    "contrastive search (penalty_alpha) does not compose with "
+                    "speculative drafting; drop draft/draft_layers"
+                )
+            return _contrastive_decoder_only(
+                model, variables, inputs_embeds, attention_mask, gen_cfg
             )
         if draft == "prompt_lookup":
             if gen_cfg.has_logits_processors:

@@ -433,12 +433,19 @@ class OPTForCausalLM(nn.Module):
         # Tied to embed_tokens, like OPTForCausalLM.
         return self.embed_tokens.attend(hidden)
 
-    def _head(self, x: jax.Array) -> jax.Array:
+    def _pre_head(self, x: jax.Array) -> jax.Array:
+        """Final norm + out-projection WITHOUT the lm head — HF's
+        ``hidden_states[-1]`` for OPT (modeling_opt.py applies
+        final_layer_norm then project_out before recording the last hidden
+        state), the vector contrastive search scores candidates with."""
         if self.final_norm is not None:
             x = self.final_norm(x)
         if self.project_out is not None:
             x = self.project_out(x)
-        return self.lm_head(x)
+        return x
+
+    def _head(self, x: jax.Array) -> jax.Array:
+        return self.lm_head(self._pre_head(x))
 
     def __call__(
         self,
@@ -448,8 +455,14 @@ class OPTForCausalLM(nn.Module):
         cache: Optional[Cache] = None,
         deterministic: bool = True,
         cache_append: bool = False,
-    ) -> tuple[jax.Array, Optional[Cache]]:
+        with_hidden: bool = False,
+    ) -> tuple:
         """inputs_embeds: (B, S, word_embed_proj_dim).
+
+        ``with_hidden=True`` additionally returns the final hidden states
+        (post final-norm/out-projection, HF ``hidden_states[-1]``) as
+        ``(logits, hidden, new_cache)`` — contrastive search's context
+        representation.
 
         Without cache: ``attention_mask`` is the (B, S) padding mask, positions
         derived HF-style. With cache: the S tokens are appended at
@@ -540,6 +553,9 @@ class OPTForCausalLM(nn.Module):
             remat_body = nn.remat(_layer_body)
             for layer in self.layers:
                 x = remat_body(layer, x, attention_mask)
+            if with_hidden:
+                hidden = self._pre_head(x)
+                return self.lm_head(hidden), hidden, None
             return self._head(x), None
 
         k_buf = cache["k"] if cache is not None else None
@@ -563,13 +579,16 @@ class OPTForCausalLM(nn.Module):
             elif new_kv is not None:
                 k_buf, v_buf = new_kv
 
-        logits = self._head(x)
+        hidden = self._pre_head(x)
+        logits = self.lm_head(hidden)
         if new_cache is not None:
             new_cache["k"] = k_buf
             new_cache["v"] = v_buf
             if int8_cache:
                 new_cache["k_scale"] = ks_buf
                 new_cache["v_scale"] = vs_buf
+        if with_hidden:
+            return logits, hidden, new_cache
         return logits, new_cache
 
     def score_with_prefix(
@@ -577,11 +596,14 @@ class OPTForCausalLM(nn.Module):
         class_embeds: jax.Array,
         class_attention_mask: jax.Array,
         cache: Cache,
+        return_hidden: bool = False,
     ) -> jax.Array:
         """Run (B, C, L) class continuations against a shared (B,) prompt cache.
 
         Returns logits of shape (B, C, L, vocab). The prompt cache is read-only and
-        never duplicated across classes.
+        never duplicated across classes. ``return_hidden=True`` also returns
+        the final hidden states (B, C, L, D) — contrastive search's candidate
+        expansion is exactly this op with C=top_k single-token continuations.
         """
         b, c, l, _ = class_embeds.shape
         cls_mask = class_attention_mask.astype(jnp.int32)  # (B, C, L)
@@ -620,4 +642,8 @@ class OPTForCausalLM(nn.Module):
             else:
                 pk, pv = cache["k"][i], cache["v"][i]
             x = layer.shared_prefix(x, pk, pv, prefix_bias, self_bias)
-        return self._head(x)
+        hidden = self._pre_head(x)
+        logits = self.lm_head(hidden)
+        if return_hidden:
+            return logits, hidden
+        return logits

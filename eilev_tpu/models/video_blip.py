@@ -193,6 +193,33 @@ class VideoBlipForConditionalGeneration(nn.Module):
     ) -> jax.Array:
         return self.language_model.score_with_prefix(class_embeds, class_attention_mask, cache)
 
+    def lm_forward_hidden(
+        self,
+        inputs_embeds: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        cache: Optional[dict] = None,
+    ):
+        """lm_forward that also returns HF's ``hidden_states[-1]`` — the
+        context representation contrastive search penalizes against."""
+        return self.language_model(
+            inputs_embeds, attention_mask=attention_mask, cache=cache,
+            with_hidden=True,
+        )
+
+    def lm_candidates(self, cand_embeds: jax.Array, cache: dict):
+        """Contrastive-search candidate expansion: (B, k) single-token
+        candidates, all at the SAME next position, over a shared read-only
+        cache (no duplication, no commitment) — ``score_with_prefix`` with
+        C=k, L=1. Returns (logits (B,k,V), hidden (B,k,D))."""
+        b, k, _ = cand_embeds.shape
+        logits, hidden = self.language_model.score_with_prefix(
+            cand_embeds[:, :, None, :],
+            jnp.ones((b, k, 1), jnp.int32),
+            cache,
+            return_hidden=True,
+        )
+        return logits[:, :, 0], hidden[:, :, 0]
+
     def t5_encode(self, inputs_embeds: jax.Array, attention_mask: jax.Array) -> jax.Array:
         return self.language_model.encode(inputs_embeds, attention_mask)
 

@@ -790,6 +790,16 @@ class ContinuousBatchingEngine:
                 "repetition_penalty/no_repeat_ngram_size/min_new_tokens; "
                 "use generate() for those knobs"
             )
+        if (
+            generation_config.penalty_alpha
+            and generation_config.penalty_alpha > 0
+            and generation_config.top_k > 1
+            and not generation_config.do_sample
+        ):
+            raise NotImplementedError(
+                "contrastive search (penalty_alpha) runs per-call in "
+                "generate(); the engine's chunked decode is greedy/sampling"
+            )
         if generation_config.max_length is not None or generation_config.min_length > 0:
             # generate()/generate_stream() retranslate the HF total-length
             # knobs per call via _resolve_lengths; the engine budgets one

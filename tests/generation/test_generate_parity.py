@@ -152,6 +152,179 @@ def test_beam_token_identical(opt_setup, length_penalty):
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
 
 
+def _torch_contrastive(model, ids, mask, pixel, vim, max_new, k, alpha, eos_ids, pad):
+    """Contrastive-search oracle over the reference model's torch numerics.
+
+    transformers 4.57 moved ``_contrastive_search`` to a remote
+    ``custom_generate`` repo (unreachable offline), so the SELECTION RULE is
+    re-derived here from the published algorithm (Su et al. 2022 / the HF
+    docs: score = (1-alpha)*p(candidate) - alpha*max cossim(candidate
+    hidden, context hiddens), hidden = ``hidden_states[-1]``) while every
+    logit/hidden comes from the reference model's own forward. Cache-free —
+    full forwards each step on the growing sequence (tiny model)."""
+    import torch.nn.functional as F
+
+    with torch.no_grad():
+        image_embeds = model.vision_model(
+            torch.tensor(pixel), return_dict=True
+        ).last_hidden_state
+        image_attention_mask = torch.ones(image_embeds.size()[:-1], dtype=torch.long)
+        query_tokens = model.query_tokens.expand(image_embeds.shape[0], -1, -1)
+        query_output = model.qformer(
+            query_embeds=query_tokens,
+            encoder_hidden_states=image_embeds,
+            encoder_attention_mask=image_attention_mask,
+            return_dict=True,
+        ).last_hidden_state
+        video_features = model.language_projection(
+            query_output.view(
+                pixel.shape[0] * model.config.num_query_tokens, -1
+            )
+        )
+        embeds = model.get_input_embeddings()(torch.tensor(ids))
+        embeds[torch.tensor(vim).bool()] = video_features
+        lm = model.language_model
+        attn = torch.tensor(mask)
+        b = ids.shape[0]
+        finished = torch.zeros(b, dtype=torch.bool)
+        out_tokens = []
+        for _ in range(max_new):
+            out = lm(
+                inputs_embeds=embeds, attention_mask=attn,
+                output_hidden_states=True, return_dict=True, use_cache=False,
+            )
+            logits = out.logits[:, -1].float()
+            ctx_hidden = out.hidden_states[-1]  # (B, T, D)
+            probs = F.softmax(logits, dim=-1)
+            top_p, top_ids = probs.topk(k, dim=-1)  # (B, k)
+
+            cand_embeds = lm.get_input_embeddings()(top_ids)  # (B, k, E)
+            t = embeds.shape[1]
+            big = torch.cat(
+                [
+                    embeds.repeat_interleave(k, dim=0),
+                    cand_embeds.reshape(b * k, 1, -1),
+                ],
+                dim=1,
+            )
+            big_attn = torch.cat(
+                [
+                    attn.repeat_interleave(k, dim=0),
+                    torch.ones(b * k, 1, dtype=attn.dtype),
+                ],
+                dim=1,
+            )
+            cand_out = lm(
+                inputs_embeds=big, attention_mask=big_attn,
+                output_hidden_states=True, return_dict=True, use_cache=False,
+            )
+            cand_hidden = cand_out.hidden_states[-1][:, -1]  # (B*k, D)
+            cos = F.cosine_similarity(
+                cand_hidden.unsqueeze(1).float(),
+                ctx_hidden.repeat_interleave(k, dim=0).float(),
+                dim=-1,
+            )  # (B*k, T)
+            penalty = cos.max(dim=-1).values.view(b, k)
+            score = (1.0 - alpha) * top_p - alpha * penalty
+            sel = score.argmax(dim=-1)  # (B,)
+            tok = top_ids.gather(1, sel[:, None])[:, 0]
+            tok = torch.where(finished, torch.tensor(pad), tok)
+            out_tokens.append(tok.clone())
+            finished |= sum((tok == e) for e in eos_ids).bool() if eos_ids else torch.zeros_like(finished)
+            embeds = torch.cat(
+                [embeds, lm.get_input_embeddings()(tok[:, None])], dim=1
+            )
+            attn = torch.cat([attn, torch.ones(b, 1, dtype=attn.dtype)], dim=1)
+            if bool(finished.all()):
+                break
+        return torch.stack(out_tokens, dim=1).numpy()
+
+
+@pytest.mark.parametrize("top_k,alpha", [(4, 0.6), (6, 0.3)])
+def test_contrastive_token_identical(opt_setup, top_k, alpha):
+    """Contrastive search (penalty_alpha): token-identical vs a torch oracle
+    built on the reference model's forward (see _torch_contrastive).
+    Exercises the shared-prefix candidate expansion + hidden-state
+    degeneration penalty (decoding._contrastive_decoder_only)."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    max_new = 8
+    eos = cfg.text_config.eos_token_id
+    ref = _torch_contrastive(
+        model, ids, mask, pixel, vim, max_new, top_k, alpha,
+        (eos,), cfg.text_config.pad_token_id,
+    )
+    ours = np.asarray(
+        generate(
+            m,
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            video_input_mask=jnp.asarray(vim),
+            generation_config=GenerationConfig(
+                max_new_tokens=max_new,
+                pad_token_id=cfg.text_config.pad_token_id,
+                penalty_alpha=alpha,
+                top_k=top_k,
+            ),
+        )
+    )
+    n = min(ref.shape[1], ours.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+def test_contrastive_custom_eos_and_t5_rejection(opt_setup):
+    """Early-eos rows pad out after stopping; T5 contrastive raises
+    actionably (decoder-only implementation)."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    max_new = 8
+    pad = cfg.text_config.pad_token_id
+    probe = _torch_contrastive(
+        model, ids, mask, pixel, vim, max_new, 4, 0.6, (), pad
+    )
+    eos = int(probe[0, 2])
+    ref = _torch_contrastive(
+        model, ids, mask, pixel, vim, max_new, 4, 0.6, (eos,), pad
+    )
+    ours = np.asarray(
+        generate(
+            m,
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            video_input_mask=jnp.asarray(vim),
+            generation_config=GenerationConfig(
+                max_new_tokens=max_new,
+                pad_token_id=pad,
+                penalty_alpha=0.6,
+                top_k=4,
+                eos_token_id=(eos,),
+            ),
+        )
+    )
+    n = min(ref.shape[1], ours.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+    for row in ours:
+        hits = np.where(row == eos)[0]
+        if len(hits):
+            assert (row[hits[0] + 1 :] == pad).all()
+
+    from eilev_tpu import configs as cfgs
+
+    t5cfg = cfgs.tiny_config(text_model="t5")
+    t5 = VideoBlipForConditionalGeneration(t5cfg)
+    with pytest.raises(NotImplementedError, match="contrastive"):
+        generate(
+            t5,
+            {"params": {}},
+            input_ids=jnp.asarray(ids),
+            generation_config=GenerationConfig(
+                max_new_tokens=4, pad_token_id=0, penalty_alpha=0.6, top_k=4
+            ),
+        )
+
+
 def test_sampling_runs_and_respects_vocab(opt_setup):
     _, cfg, params, m, ids, mask, pixel, vim = opt_setup
     out = np.asarray(

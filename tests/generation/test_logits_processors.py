@@ -524,9 +524,19 @@ def test_from_json_default_max_new():
 
 def test_from_json_rejects_unsupported():
     with pytest.raises(ValueError, match="not implemented.*supported keys"):
-        generation_config_from_json({"penalty_alpha": 0.5}, pad_token_id=1)
+        generation_config_from_json({"diversity_penalty": 0.5}, pad_token_id=1)
     with pytest.raises(ValueError, match="not a recognized.*supported keys"):
         generation_config_from_json({"nonsense_key": 3}, pad_token_id=1)
+
+
+def test_from_json_penalty_alpha():
+    """penalty_alpha is accepted (contrastive search, round 5); HF's null
+    default maps to 0.0 (off)."""
+    cfg = generation_config_from_json({"penalty_alpha": 0.6, "top_k": 4}, pad_token_id=1)
+    assert cfg.penalty_alpha == 0.6 and cfg.top_k == 4
+    cfg = generation_config_from_json({"penalty_alpha": None}, pad_token_id=1)
+    assert cfg.penalty_alpha == 0.0
+    assert hash(cfg)
 
 
 def test_from_json_num_return_sequences():
