@@ -35,7 +35,8 @@ class EilevChat:
 
     def __init__(self, model_path: str, processor_path=None, dtype_name: str = "bf16",
                  int8_lm: bool = False, int8_kv: bool = False,
-                 int8_vision: bool = False, kv_reuse: bool = False):
+                 int8_vision: bool = False, kv_reuse: bool = False,
+                 engine: bool = False):
         import jax.numpy as jnp
 
         from eilev_tpu.models.auto import load_model, load_tokenizer
@@ -47,7 +48,9 @@ class EilevChat:
         )
         self.tokenizer = load_tokenizer(processor_path or model_path)
         self.kv_reuse = kv_reuse
+        self.engine_mode = engine
         self.session = None
+        self.engine = None
         self.reset()
 
     def reset(self) -> None:
@@ -119,6 +122,63 @@ class EilevChat:
         self.add_text(reply)
         return reply
 
+    def respond_engine(self, user_text: str) -> str:
+        """Greedy turn through a persistent ``ContinuousBatchingEngine``: the
+        chat workload has a DIFFERENT video count every turn, and the engine's
+        ``video_bucket`` cold-encode path keeps that variable geometry on one
+        compiled ViT program (serving/engine.py round-5 admission). The same
+        engine instance could concurrently serve other chats' requests —
+        this is the production-serving composition of the demo."""
+        import jax.numpy as jnp
+
+        from eilev_tpu.configs import OPTConfig
+        from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
+        from eilev_tpu.generation import GenerationConfig
+        from eilev_tpu.ops.preprocess import process_videos
+        from eilev_tpu.serving import ContinuousBatchingEngine, Request
+
+        if self.engine is None:
+            gen_cfg = GenerationConfig(
+                max_new_tokens=32, pad_token_id=self.tokenizer.pad_token_id
+            )
+            if isinstance(self.config.text_config, OPTConfig):
+                gen_cfg = gen_cfg.with_eos(50118)  # OPT newline eos
+            self.engine = ContinuousBatchingEngine(
+                self.model, self.variables, gen_cfg, max_slots=2,
+                max_len=2048, chunk_tokens=8, prefill_bucket=256,
+                video_bucket=4,
+            )
+        if user_text.strip():
+            self.add_text(user_text.strip())
+        inputs = generate_input_ids_and_labels_from_interleaved(
+            self.tokenizer,
+            self.prompts,
+            None,
+            self.config.num_query_tokens,
+            self.config.use_decoder_only_language_model,
+        )
+        pixel = vim = None
+        if self.videos:
+            img = self.config.vision_config.image_size
+            pixel = np.asarray(process_videos(
+                jnp.asarray(np.stack(self.videos)), height=img, width=img,
+                dtype=self.dtype,
+            ))
+            vim = np.asarray(inputs["video_input_mask"])
+        req = Request(
+            input_ids=np.asarray(inputs["input_ids"]),
+            pixel_values=pixel, video_input_mask=vim,
+        )
+        done = self.engine.run([req])
+        (completion,) = done.values()
+        pad = self.engine.gen_cfg.pad_token_id
+        reply = self.tokenizer.decode(
+            [int(t) for t in completion.tokens if t != pad],
+            skip_special_tokens=True,
+        ).strip()
+        self.add_text(reply)
+        return reply
+
     def respond(self, user_text: str) -> str:
         import jax.numpy as jnp
 
@@ -129,6 +189,8 @@ class EilevChat:
 
         if self.kv_reuse:
             return self.respond_kv_reuse(user_text)
+        if self.engine_mode:
+            return self.respond_engine(user_text)
         if user_text.strip():
             self.add_text(user_text.strip())
         inputs = generate_input_ids_and_labels_from_interleaved(
@@ -332,6 +394,10 @@ def main() -> None:
                    help="keep the session KV cache across turns and prefill "
                         "only each turn's new tokens/videos (greedy; the "
                         "default beam-5 re-prefills like the reference demo)")
+    p.add_argument("--engine", action="store_true",
+                   help="serve turns through a persistent continuous-batching "
+                        "engine (greedy; variable per-turn video counts share "
+                        "one compiled ViT program via video_bucket)")
     p.add_argument("--terminal", action="store_true", help="force terminal mode")
     p.add_argument("--stream", action="store_true",
                    help="terminal mode: stream tokens as they decode (greedy; "
@@ -343,6 +409,7 @@ def main() -> None:
         args.model, args.processor, args.dtype,
         int8_lm=args.int8_lm, int8_kv=args.int8_kv,
         int8_vision=args.int8_vision, kv_reuse=args.kv_reuse,
+        engine=args.engine,
     )
     if args.terminal or args.stream:
         run_terminal(chat, stream=args.stream)

@@ -40,9 +40,13 @@ production-serving design — built TPU-first:
 
 Works with every LM serving mode (bf16, ``int8_lm``, ``int8_kv``,
 ``int8_vision`` — the cache-merge walks whatever tensors the cache dict
-carries). One prompt *geometry* (number of videos) per engine — the EILeV
-serving workload is a fixed 16-shot+query prompt (reference
-slurm-scripts/README.md:71-76), which is exactly this shape.
+carries). Requests may carry DIFFERENT video counts (round 5): admission
+prefills one request at a time, so geometry only affects compile reuse —
+``video_bucket=N`` routes cold vision encodes through fixed-size buckets
+(one compiled ViT program total, the feature-cache miss scheme), and the
+attached ``VideoFeatureCache`` already buckets. The fixed 16-shot+query
+eval prompt (reference slurm-scripts/README.md:71-76) remains the headline
+shape; the demo/chat workload (variable videos per turn) shares the engine.
 
 Speculative serving (round 4): ``speculative="prompt_lookup"`` replaces the
 chunked decode with PER-SLOT prompt-lookup speculative passes — each slot
@@ -772,6 +776,7 @@ class ContinuousBatchingEngine:
         spec_gamma: int = 8,
         spec_match_len: int = 3,
         spec_extra_corpus: int = 0,
+        video_bucket: int = 0,
     ):
         if feature_loader is not None and feature_cache is None:
             raise ValueError("feature_loader requires feature_cache")
@@ -855,6 +860,13 @@ class ContinuousBatchingEngine:
         self.chunk_tokens = chunk_tokens
         self.prefill_bucket = prefill_bucket
         self.vision_chunks = vision_chunks
+        #: >0: encode each request's videos through FIXED-SIZE buckets of
+        #: this many videos (pad the tail), then scatter precomputed
+        #: features. Mixed per-request video counts then share ONE compiled
+        #: ViT program instead of one per distinct count — the demo/chat
+        #: workload (variable videos per turn, demo/eilev_demo.py) served by
+        #: one engine. 0 = monolithic in-prompt encode (fixed-geometry eval).
+        self.video_bucket = video_bucket
         self.feature_cache = feature_cache
         # lazy pixel supply: requests may omit pixel_values entirely and the
         # cache fetches frames for its MISSES via feature_loader(key)
@@ -1452,6 +1464,12 @@ class ContinuousBatchingEngine:
                 self.variables, kw["input_ids"], None, kw["video_input_mask"],
                 method=VB.embed_and_scatter, video_features=feats,
             )
+        if self.video_bucket > 0 and pixel_values is not None:
+            feats = self._encode_bucketed(kw["pixel_values"])
+            return self.model.apply(
+                self.variables, kw["input_ids"], None, kw["video_input_mask"],
+                method=VB.embed_and_scatter, video_features=feats,
+            )
         if self.vision_chunks > 1 and pixel_values is not None:
             from ..models.video_blip import embed_and_scatter_chunked
 
@@ -1462,6 +1480,27 @@ class ContinuousBatchingEngine:
         return self.model.apply(
             self.variables, method=VB.embed_and_scatter, **kw
         )
+
+    def _encode_bucketed(self, pixel_values: jax.Array) -> jax.Array:
+        """Fixed-bucket vision encode for the variable-geometry cold path
+        (same program + padding scheme as feature_cache's miss encode; each
+        video's features are batch-mate independent)."""
+        from .feature_cache import _encode_bucket
+
+        v = pixel_values.shape[0]
+        b = self.video_bucket
+        out = []
+        for start in range(0, v, b):
+            chunk = pixel_values[start : start + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = jnp.pad(
+                    chunk, ((0, pad),) + ((0, 0),) * (chunk.ndim - 1)
+                )
+            feats = _encode_bucket(self.model, self.variables, chunk)
+            out.append(feats[: b - pad] if pad else feats)
+        feats = jnp.concatenate(out, axis=0)  # (V, Q, text_hidden)
+        return feats.reshape(v * feats.shape[1], -1)
 
     def _harvest(
         self,

@@ -161,6 +161,63 @@ def test_eilev_chat_kv_reuse_matches_greedy(checkpoint, video):
     assert chat.session.reused_last_turn
 
 
+def test_eilev_chat_engine_matches_greedy(checkpoint, video):
+    """--engine mode: turns served by a persistent ContinuousBatchingEngine
+    must equal from-scratch greedy turns. The video count GROWS between turns
+    (1 then 2), exercising the engine's variable-geometry admission +
+    video_bucket cold-encode through the demo's plumbing."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "eilev_demo", os.path.join(REPO, "demo", "eilev_demo.py")
+    )
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    import jax.numpy as jnp
+
+    from eilev_tpu.data.prompts import generate_input_ids_and_labels_from_interleaved
+    from eilev_tpu.generation import GenerationConfig, generate
+    from eilev_tpu.ops.preprocess import process_videos
+
+    chat = demo.EilevChat(checkpoint, dtype_name="fp32", engine=True)
+
+    def reference_reply():
+        inputs = generate_input_ids_and_labels_from_interleaved(
+            chat.tokenizer, chat.prompts, None, chat.config.num_query_tokens, True
+        )
+        img = chat.config.vision_config.image_size
+        pixel = process_videos(
+            jnp.asarray(np.stack(chat.videos)), height=img, width=img,
+            dtype=chat.dtype,
+        )
+        gen_cfg = GenerationConfig(
+            max_new_tokens=32, pad_token_id=chat.tokenizer.pad_token_id
+        ).with_eos(50118)
+        toks = np.asarray(
+            generate(
+                chat.model, chat.variables,
+                input_ids=jnp.asarray(inputs["input_ids"])[None],
+                pixel_values=pixel,
+                video_input_mask=jnp.asarray(inputs["video_input_mask"])[None],
+                generation_config=gen_cfg,
+            )
+        )[0]
+        toks = toks[toks != gen_cfg.pad_token_id]
+        return chat.tokenizer.decode([int(t) for t in toks], skip_special_tokens=True).strip()
+
+    chat.add_video(video)
+    chat.add_text("What is the camera wearer doing?")
+    ref1 = reference_reply()
+    assert chat.respond("") == ref1
+    assert chat.engine is not None and chat.engine.idle
+
+    chat.add_video(video)  # second video: turn geometry changes
+    chat.add_text("And then?")
+    ref2 = reference_reply()
+    assert chat.respond("") == ref2
+
+
 @pytest.mark.parametrize("backend", ["opt", "llama"])
 def test_generate_std_sent_cli(opt_checkpoint, llama_checkpoint, backend, tmp_path):
     ckpt = opt_checkpoint if backend == "opt" else llama_checkpoint

@@ -80,6 +80,60 @@ def test_engine_batch_matches_isolated_generate(world):
         np.testing.assert_array_equal(completion.tokens, ref[rid], err_msg=str(rid))
 
 
+def test_engine_mixed_video_geometry(world):
+    """Requests with DIFFERENT video counts (0/1/2/4 videos) serve through
+    ONE engine, token-identical to isolated generate — the demo/chat
+    workload (variable videos per turn, demo/eilev_demo.py). video_bucket=2
+    routes every cold vision encode through one fixed-size compiled program
+    (the feature-cache miss scheme) regardless of per-request count."""
+    cfg, model, variables, _ = world
+    q = cfg.num_query_tokens
+    t = 2
+    img = cfg.vision_config.image_size
+
+    def make_nvideo_request(seed, n_videos):
+        r = np.random.default_rng(seed)
+        p = 6 + n_videos * (q + 1)
+        ids = r.integers(4, cfg.text_config.vocab_size, size=(p,))
+        vim = np.zeros((p,), np.int64)
+        for i in range(n_videos):
+            vim[1 + i * (q + 1) : 1 + i * (q + 1) + q] = 1
+        if n_videos == 0:
+            return Request(input_ids=ids, pixel_values=None, video_input_mask=None)
+        pixel = r.normal(size=(n_videos, 3, t, img, img)).astype(np.float32)
+        return Request(input_ids=ids, pixel_values=pixel, video_input_mask=vim)
+
+    gen_cfg = GenerationConfig(max_new_tokens=5, pad_token_id=1)
+    requests = [
+        make_nvideo_request(31, 1),
+        make_nvideo_request(32, 4),
+        make_nvideo_request(33, 0),
+        make_nvideo_request(34, 2),
+        make_nvideo_request(35, 4),
+    ]
+    ref = []
+    for r in requests:
+        kw = dict(
+            input_ids=jnp.asarray(r.input_ids[None]),
+            generation_config=gen_cfg,
+        )
+        if r.pixel_values is not None:
+            kw["pixel_values"] = jnp.asarray(r.pixel_values)
+            kw["video_input_mask"] = jnp.asarray(r.video_input_mask[None])
+        ref.append(np.asarray(generate(model, variables, **kw))[0])
+
+    for bucket in (0, 2):
+        eng = ContinuousBatchingEngine(
+            model, variables, gen_cfg, max_slots=2, max_len=96,
+            chunk_tokens=3, prefill_bucket=8, video_bucket=bucket,
+        )
+        done = eng.run([dataclasses.replace(r) for r in requests])
+        for rid in range(5):
+            np.testing.assert_array_equal(
+                done[rid].tokens, ref[rid], err_msg=f"bucket={bucket} rid={rid}"
+            )
+
+
 @pytest.mark.slow
 def test_engine_staggered_arrivals_match(world):
     """Requests arriving mid-decode (different chunks, reused slots) still
