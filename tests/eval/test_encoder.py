@@ -44,6 +44,7 @@ def _jax_hidden(cfg, params, ids, mask):
     )
 
 
+@pytest.mark.slow
 def test_bert_parity():
     from transformers import BertConfig, BertModel
 

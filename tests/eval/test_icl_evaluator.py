@@ -84,6 +84,7 @@ def test_vision_cache_predictions_identical(world):
     assert ev._feature_cache.misses <= len(train) + len(eval_ds)
 
 
+@pytest.mark.slow
 def test_lazy_frame_loader_predictions_identical(world):
     """Metadata-only datasets + frame_loader: identical predictions, and the
     loader runs once per distinct video (cache hits skip host frame IO)."""

@@ -389,6 +389,7 @@ def test_beam_num_return_sequences_token_identical(opt_setup):
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
 
 
+@pytest.mark.slow
 def test_sampling_num_return_sequences_tile_exact(opt_setup):
     """The tile-after-one-prefill dedup must be bit-identical to physically
     repeating the inputs (HF's repeat_interleave layout) under the same rng."""
@@ -581,6 +582,7 @@ def test_t5_greedy_token_identical():
     np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
 
 
+@pytest.mark.slow
 def test_t5_sampling_num_return_sequences():
     """Seq2seq sampling with num_return_sequences: encode + cross-KV once,
     tiled across copies; rows interleaved like HF."""

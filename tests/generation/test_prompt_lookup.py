@@ -102,6 +102,7 @@ def test_echo_corpus_token_identical_and_accepting(tiny):
     np.testing.assert_array_equal(plain, pld)
 
 
+@pytest.mark.slow
 def test_eos_early_stop(tiny):
     """Custom eos = the 3rd greedy token: PLD must stop identically."""
     cfg, model, params, ids, mask, pixel, vim = tiny

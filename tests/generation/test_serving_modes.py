@@ -56,6 +56,7 @@ def test_bf16_generation_runs_and_is_valid():
     np.testing.assert_array_equal(outs[0], outs[1])  # deterministic
 
 
+@pytest.mark.slow
 def test_early_exit_saves_decode_steps():
     """With an eos that greedy emits immediately, a 1024-token budget must
     not cost ~1024 steps (the while_loop exits when all rows finish)."""

@@ -204,6 +204,7 @@ def test_text_lm_int8_llama_runs(llama_checkpoint):
     assert len(texts) == 1 and isinstance(texts[0], str)
 
 
+@pytest.mark.slow
 def test_text_lm_prompt_lookup_matches_plain(opt_checkpoint, llama_checkpoint):
     """draft='prompt_lookup' on TextLM is token-identical to plain greedy for
     both decoder families (the decode fn is family-generic: OPT and LLaMA

@@ -157,6 +157,7 @@ def test_scatter_semantics():
     np.testing.assert_allclose(np.asarray(ours), te.numpy(), atol=0, rtol=0)
 
 
+@pytest.mark.slow
 def test_videoblip_t5_forward_parity():
     model, cfg, params = make_oracle("t5")
     b, v_per, t, s = 2, 1, 2, 10

@@ -84,6 +84,7 @@ def test_forward_logits_match_hf(kv_heads, tie):
     )
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full_forward():
     """Prefill + per-token cached steps == one uncached forward."""
     hf, model, params, cfg = _make_pair()

@@ -7,6 +7,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eilev_tpu.parallel import make_mesh
 from eilev_tpu.parallel.distributed import gather_to_host, host_local_batch_to_global
@@ -38,6 +39,7 @@ def test_gather_to_host():
     np.testing.assert_array_equal(out, np.arange(16.0).reshape(8, 2))
 
 
+@pytest.mark.slow
 def test_launcher_dry_runs(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
 

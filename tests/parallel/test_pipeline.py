@@ -67,6 +67,7 @@ def test_pipeline_forward_matches_sequential(setup, stages, microbatches):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_gradients_match_sequential(setup):
     params, x, mask = setup
     stages, microbatches = 2, 2

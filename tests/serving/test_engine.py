@@ -80,6 +80,7 @@ def test_engine_batch_matches_isolated_generate(world):
         np.testing.assert_array_equal(completion.tokens, ref[rid], err_msg=str(rid))
 
 
+@pytest.mark.slow
 def test_engine_mixed_video_geometry(world):
     """Requests with DIFFERENT video counts (0/1/2/4 videos) serve through
     ONE engine, token-identical to isolated generate — the demo/chat

@@ -182,6 +182,7 @@ def test_spec_engine_extra_corpus(world):
     np.testing.assert_array_equal(done2[0].tokens, ref)
 
 
+@pytest.mark.slow
 def test_spec_engine_slot_reuse_and_eos(world):
     """Short eos-terminated rows free slots that later requests reuse."""
     cfg, model, variables, make_request = world
@@ -201,6 +202,7 @@ def test_spec_engine_slot_reuse_and_eos(world):
         np.testing.assert_array_equal(done[rid].tokens, ref[rid], err_msg=str(rid))
 
 
+@pytest.mark.slow
 def test_spec_engine_compaction_under_pressure(world):
     """A max_len too small for the full backlog forces rolling compaction
     (and possibly the plain-decode fallback); outputs stay identical."""
@@ -221,6 +223,7 @@ def test_spec_engine_compaction_under_pressure(world):
     )
 
 
+@pytest.mark.slow
 def test_spec_engine_eviction_recompute(world):
     """Force the eviction path: holes + a long decode in a cache with no
     headroom for speculative windows NOR plain chunks mid-flight. The evicted
@@ -262,6 +265,7 @@ def test_spec_engine_rejects_unknown_mode(world):
         )
 
 
+@pytest.mark.slow
 def test_spec_engine_int8_kv(world):
     """Speculative serving composes with the int8 KV cache serving mode."""
     cfg, model, variables, make_request = world
@@ -342,6 +346,7 @@ def test_spec_sampling_point_mass_under_pressure(world):
     )
 
 
+@pytest.mark.slow
 def test_spec_sampling_eos_pad_contract(world):
     """Wherever an eos is emitted under sampling, later positions are pad."""
     cfg, model, variables, make_request = world
@@ -406,6 +411,7 @@ def _t5_want(ref_row, completion, pad):
     return want
 
 
+@pytest.mark.slow
 def test_spec_t5_matches_isolated_generate(t5_world):
     """Greedy T5 speculative serving is token-identical to isolated generate
     across staggered admission — the hole-aware relative bias (spec_append's
@@ -460,6 +466,7 @@ def test_spec_t5_extra_corpus_acceptance(t5_world):
     assert eng.stats["spec_tokens"] > eng.stats["spec_rows"]
 
 
+@pytest.mark.slow
 def test_spec_t5_pressure_fallback_and_eviction(t5_world):
     """A decoder cache too small for the speculative windows forces the
     gamma=0 hole-aware fallback and the T5 evict-and-replay path; outputs

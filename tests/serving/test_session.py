@@ -93,6 +93,7 @@ def test_session_multi_turn_matches_generate(world):
         vim = np.concatenate([vim, np.zeros((len(reply),), vim.dtype)])
 
 
+@pytest.mark.slow
 def test_session_mid_stream_edit_rolls_back(world):
     """Editing a mid-conversation token (e.g. the retokenized reply merged
     differently) must ROLL the cache BACK to the common prefix, keep reusing

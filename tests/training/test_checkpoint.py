@@ -121,6 +121,7 @@ def _sharded_state(trainable, mesh, *, tensor_parallel):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("target", ["dp_only", "tp_swapped"])
 def test_checkpoint_reshard_across_meshes(setup, tmp_path, target):
     """Save under a TP(2)xDP(2) mesh with ZeRO-sharded opt state, restore onto
