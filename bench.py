@@ -28,13 +28,25 @@ so >1.0 means one v5e chip beats one A40 on the reference's own workload.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Persistent XLA compilation cache (utils/compile_cache.py): the flagship
+# programs cost minutes of remote compile over this tunnel; caching them in
+# the repo (gitignored) makes repeated bench runs pay execution only.
+os.environ.setdefault(
+    "EILEV_COMPILATION_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "xla"),
+)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from eilev_tpu import configs
+from eilev_tpu.utils.compile_cache import maybe_enable_compilation_cache
+
+maybe_enable_compilation_cache()
 from eilev_tpu.generation import GenerationConfig
 from eilev_tpu.generation.decoding import _greedy_sample_decoder_only
 from eilev_tpu.models import VideoBlipForConditionalGeneration
@@ -90,8 +102,47 @@ def random_bf16_params(model, example):
     return make(jax.random.PRNGKey(42))
 
 
+def _train_leg() -> dict | None:
+    """Flagship TRAINING step (the reference's 36 h / 8xA40 recipe cost,
+    BASELINE.md row 1), measured live in a SUBPROCESS so it runs before this
+    process claims the chip and releases all HBM afterwards. The default
+    variant is the measured-best (micro 1 — datapoint throughput is FLAT in
+    micro-batch on this chip, docs/PERF.md "Training"). Opt out: BENCH_TRAIN=0."""
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        TRAIN_BENCH_VARIANTS=os.environ.get("BENCH_TRAIN_VARIANT", "1"),
+        TRAIN_BENCH_STEPS=os.environ.get("BENCH_TRAIN_STEPS", "3"),
+    )
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "train_step_bench.py"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, script],
+            env=env, capture_output=True, text=True, timeout=3000,
+        )
+    except Exception:
+        return None
+    rec = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "videos_per_sec" in parsed:
+                rec = parsed
+    return rec
+
+
 def main() -> None:
-    import os
+    train = None
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        train = _train_leg()
 
     cfg = configs.blip2_opt_2_7b()
     model = VideoBlipForConditionalGeneration(cfg, dtype=jnp.bfloat16)
@@ -225,6 +276,131 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         single = float(np.median(ts))
 
+    # ---------------------------------------------------------------------
+    # Secondary serving-stratum legs (BENCH_SECONDARY=0 opts out). Each is
+    # measured live in this run and failure-isolated: the headline number
+    # never depends on them. Order matters for HBM: all bf16 legs first,
+    # then quantize-and-free for the int8 operating point.
+    # ---------------------------------------------------------------------
+    secondary = os.environ.get("BENCH_SECONDARY", "1") == "1"
+    warm_vps = None
+    spec_stats = None
+    int8_profile = None
+
+    if secondary:
+        # -- warm vision-feature cache, bf16 (the eval steady state: 16 of 17
+        #    videos per datapoint recur — docs/PERF.md "Cross-request
+        #    vision-feature cache") -------------------------------------------
+        try:
+            from eilev_tpu.serving import VideoFeatureCache
+
+            pool_n = 256
+            cache = VideoFeatureCache(
+                model, variables, capacity=pool_n + 4096, bucket=4
+            )
+            pixel_bf16 = jax.jit(lambda p: process_videos(p, dtype=jnp.bfloat16))
+
+            @jax.jit
+            def decode_from_features(variables, feats):
+                embeds = model.apply(
+                    variables, ids_d, None, vim_d,
+                    method=VB.embed_and_scatter, video_features=feats,
+                )
+                return _greedy_sample_decoder_only(
+                    model, variables, embeds, mask_d, gen_cfg, rng
+                )
+
+            pool_px = pixel_bf16(pixel_dev[0])
+            for s in range(0, pool_n, v):
+                n = min(v, pool_n - s)
+                cache.features([f"pool{s + i}" for i in range(n)], pool_px[:n])
+            draw = np.random.default_rng(7)
+            ctr = [0]
+
+            def warm_step():
+                keys = []
+                for b in range(batch):
+                    keys += [f"pool{k}" for k in draw.integers(0, pool_n, size=SHOTS)]
+                    keys.append(f"q{ctr[0]}_{b}")
+                ctr[0] += 1
+                feats = cache.features(keys, pixel_bf16(pixel_dev[0]))
+                return np.asarray(decode_from_features(variables, feats))
+
+            warm_step()  # compile
+            ws = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                warm_step()
+                ws.append(time.perf_counter() - t0)
+            warm_vps = v / float(np.median(ws))
+            del cache, pool_px
+        except Exception as e:  # pragma: no cover - keep the headline alive
+            print(f"# warm-cache leg failed: {type(e).__name__}: {e}", flush=True)
+
+        # -- prompt-lookup speculative decode, echo corpus (the alpha~1
+        #    operating point of the 16-shot narration workload; token
+        #    identity asserted on-chip) ---------------------------------------
+        try:
+            from eilev_tpu.generation.speculative import (
+                build_lookup_corpus,
+                prompt_lookup_greedy_decode,
+            )
+            from eilev_tpu.models.opt import OPTForCausalLM
+
+            ids1, mask1s, vim1s = build_prompt(cfg, 1)
+            embeds1 = jax.jit(
+                lambda p: model.apply(
+                    {"params": p}, jnp.asarray(ids1, jnp.int32), method=VB.lm_embed
+                )
+            )(params)
+            mask1_d = jnp.asarray(mask1s, jnp.int32)
+            target_lm = OPTForCausalLM(cfg.text_config, dtype=jnp.bfloat16)
+            greedy1 = np.asarray(
+                _greedy_sample_decoder_only(
+                    model, variables, embeds1, mask1_d, gen_cfg, rng
+                )
+            )
+            t0 = time.perf_counter()
+            np.asarray(
+                _greedy_sample_decoder_only(
+                    model, variables, embeds1, mask1_d, gen_cfg, rng
+                )
+            )
+            t_greedy1 = time.perf_counter() - t0
+            echo = jnp.concatenate(
+                [
+                    build_lookup_corpus(
+                        jnp.asarray(ids1, jnp.int32),
+                        jnp.asarray(mask1s), jnp.asarray(vim1s),
+                    ),
+                    jnp.asarray(greedy1, jnp.int32),
+                ],
+                axis=1,
+            )
+
+            def pld():
+                return prompt_lookup_greedy_decode(
+                    target_lm, params["language_model"], echo, embeds1, mask1_d,
+                    gen_cfg, gamma=8, match_len=3, return_stats=True,
+                )
+
+            out1, _ = pld()  # compile
+            np.testing.assert_array_equal(np.asarray(out1), greedy1)
+            ts = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                np.asarray(pld()[0])
+                ts.append(time.perf_counter() - t0)
+            _, (n_tok, iters) = pld()
+            spec_stats = {
+                "spec_tokens_per_pass": round(int(n_tok) / max(int(iters), 1), 2),
+                "spec_speedup_vs_greedy": round(
+                    t_greedy1 / float(np.median(ts)), 2
+                ),
+            }
+        except Exception as e:  # pragma: no cover
+            print(f"# spec leg failed: {type(e).__name__}: {e}", flush=True)
+
     # optional: the OPT-IN int8 weight-only serving mode (ops/quantization.py);
     # not the headline because the north star is bf16-parity greedy output
     int8_vps = None
@@ -308,6 +484,94 @@ def main() -> None:
             np.asarray(pending.pop(0))
         int8_vps = n_pipe * v / (time.perf_counter() - t0)
 
+    # -- combined serving operating point: warm cache x int8-lm+int8-kv x
+    #    fast-gelu at batch 8 (docs/PERF.md "Combined serving profile"). Runs
+    #    LAST: quantizes then FREES the bf16 tree (both resident at batch 8
+    #    oversubscribe the 16 GB chip). Skipped when BENCH_INT8=1 already
+    #    consumed the bf16 params above. Opt out: BENCH_SECONDARY=0. --------
+    if secondary and int8_vps is None:
+        try:
+            import dataclasses
+            import gc
+
+            from eilev_tpu.ops.gelu import set_gelu_impl
+            from eilev_tpu.ops.quantization import quantize_lm_params
+            from eilev_tpu.serving import VideoFeatureCache
+
+            set_gelu_impl("fast")
+            p_batch = int(os.environ.get("BENCH_PROFILE_BATCH", "8"))
+            p_v = p_batch * (SHOTS + 1)
+            p_ids, p_mask, p_vim = build_prompt(cfg, p_batch)
+            p_ids_d = jnp.asarray(p_ids, jnp.int32)
+            p_mask_d = jnp.asarray(p_mask, jnp.int32)
+            p_vim_d = jnp.asarray(p_vim, jnp.int32)
+
+            qcfg = configs.replace(
+                cfg,
+                text_config=dataclasses.replace(
+                    cfg.text_config, quantize_matmuls=True, int8_kv_cache=True
+                ),
+            )
+            qmodel = VideoBlipForConditionalGeneration(qcfg, dtype=jnp.bfloat16)
+
+            @jax.jit
+            def quantize_q(params):
+                p = dict(params)
+                p["language_model"] = quantize_lm_params(p["language_model"])
+                return p
+
+            qvariables = {"params": quantize_q(params)}
+            jax.block_until_ready(qvariables)
+            del params, variables, pixel_dev
+            gc.collect()
+
+            pool_n = 256
+            qcache = VideoFeatureCache(
+                qmodel, qvariables, capacity=pool_n + 4096, bucket=4
+            )
+            pixel_bf16_q = jax.jit(lambda p: process_videos(p, dtype=jnp.bfloat16))
+            # one datapoint of frames feeds every miss encode: feature identity
+            # doesn't matter for throughput, only the encode count does
+            p_pixel = jax.device_put(pixel_host[: SHOTS + 1])
+            p_px16 = pixel_bf16_q(jnp.tile(p_pixel, (p_batch, 1, 1, 1, 1)))
+            for s in range(0, pool_n, p_v):
+                n = min(p_v, pool_n - s)
+                qcache.features([f"pool{s + i}" for i in range(n)], p_px16[:n])
+
+            @jax.jit
+            def decode_from_features_q(variables, feats):
+                embeds = qmodel.apply(
+                    variables, p_ids_d, None, p_vim_d,
+                    method=VB.embed_and_scatter, video_features=feats,
+                )
+                return _greedy_sample_decoder_only(
+                    qmodel, variables, embeds, p_mask_d, gen_cfg, rng
+                )
+
+            draw_q = np.random.default_rng(11)
+            qctr = [0]
+
+            def warm_step_q():
+                keys = []
+                for b in range(p_batch):
+                    keys += [
+                        f"pool{k}" for k in draw_q.integers(0, pool_n, size=SHOTS)
+                    ]
+                    keys.append(f"q{qctr[0]}_{b}")
+                qctr[0] += 1
+                feats = qcache.features(keys, p_px16)
+                return np.asarray(decode_from_features_q(qvariables, feats))
+
+            warm_step_q()  # compile
+            qs = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                warm_step_q()
+                qs.append(time.perf_counter() - t0)
+            int8_profile = p_v / float(np.median(qs))
+        except Exception as e:  # pragma: no cover
+            print(f"# int8-profile leg failed: {type(e).__name__}: {e}", flush=True)
+
     out = {
         # vs_baseline is ESTIMATE-derived: the reference publishes no
         # machine-readable throughput (see module docstring)
@@ -326,6 +590,18 @@ def main() -> None:
         out["single_stream_latency_sec"] = round(single, 4)
     if int8_vps is not None:
         out["videos_per_sec_int8_lm"] = round(int8_vps, 3)
+    # secondary serving/training strata, measured live this run (see legs above)
+    if warm_vps is not None:
+        out["warm_cache_videos_per_sec"] = round(warm_vps, 3)
+    if spec_stats is not None:
+        out.update(spec_stats)
+    if int8_profile is not None:
+        out["int8_profile_videos_per_sec"] = round(int8_profile, 3)
+        out["int8_profile_batch"] = int(os.environ.get("BENCH_PROFILE_BATCH", "8"))
+    if train is not None:
+        out["train_videos_per_sec"] = train["videos_per_sec"]
+        out["train_s_per_step"] = train["s_per_step"]
+        out["train_variant"] = train["variant"]
     print(json.dumps(out))
 
 
