@@ -92,6 +92,17 @@ class GenerationConfig:
     # decoding._contrastive_decoder_only; any other mode ignores it, as HF
     # does.
     penalty_alpha: float = 0.0
+    # HF group (diverse) beam search: num_beams splits into num_beam_groups
+    # groups of num_beams/num_beam_groups processed sequentially per step;
+    # group g's log-probs are penalized diversity_penalty * (frequency of
+    # each token among groups 0..g-1's selections this step). Removed from
+    # transformers 4.57's GenerationMixin; semantics reconstructed from the
+    # still-in-tree BeamSearchScorer + HammingDiversityLogitsProcessor and
+    # verified against a torch oracle on the reference forward
+    # (decoding._beam_engine handles G groups natively; do_sample is
+    # rejected, as HF does for diverse beam search).
+    num_beam_groups: int = 1
+    diversity_penalty: float = 0.0
 
     @property
     def has_logits_processors(self) -> bool:
@@ -155,6 +166,8 @@ _SUPPORTED_JSON_KEYS = {
     "remove_invalid_values": "remove_invalid_values",
     "renormalize_logits": "renormalize_logits",
     "penalty_alpha": "penalty_alpha",
+    "num_beam_groups": "num_beam_groups",
+    "diversity_penalty": "diversity_penalty",
     # Accepted for parity with HF's behavior on the inputs_embeds path the
     # reference drives (v2.py:318-322 passes no input_ids to LM generate):
     # HF builds EncoderRepetitionPenalty/EncoderNoRepeatNGram from the
@@ -190,8 +203,6 @@ def generation_config_from_json(
     instead of dying as a bare ``TypeError`` downstream.
     """
     known_unsupported = {
-        "diversity_penalty",
-        "num_beam_groups",
         "force_words_ids",
         "guidance_scale",
         "low_memory",

@@ -418,6 +418,33 @@ def _validate_num_return_sequences(gen_cfg: GenerationConfig) -> None:
         )
 
 
+def _validate_beam_groups(gen_cfg: GenerationConfig) -> None:
+    """HF's group-beam contract (BeamSearchScorer.__init__ +
+    GenerationMixin._validate_model_kwargs): groups divide num_beams; diverse
+    beam search cannot be sampled; diversity_penalty needs groups."""
+    G = gen_cfg.num_beam_groups
+    if G < 1:
+        raise ValueError(f"num_beam_groups must be >= 1, got {G}")
+    if G == 1:
+        if gen_cfg.diversity_penalty != 0.0:
+            raise ValueError(
+                "diversity_penalty requires num_beam_groups > 1 (HF: the "
+                "Hamming diversity processor is only built for group beam search)"
+            )
+        return
+    if gen_cfg.num_beams < G or gen_cfg.num_beams % G != 0:
+        raise ValueError(
+            "`num_beam_groups` has to be an integer smaller or equal than "
+            "`num_beams` and `num_beams` has to be divisible by "
+            f"`num_beam_groups`, but is {G} with `num_beams` being {gen_cfg.num_beams}."
+        )
+    if gen_cfg.do_sample:
+        raise ValueError(
+            "Diverse beam search cannot be used in sampling mode. Make sure "
+            "that `do_sample` is set to `False`."
+        )
+
+
 def _prefill(model: VB, variables, inputs_embeds, attention_mask, max_new_tokens):
     b, s, _ = inputs_embeds.shape
     tcfg: OPTConfig = model.config.text_config
@@ -769,21 +796,37 @@ def _beam_engine(
     ``multinomial(replacement=False)``, fixed-shape and fully on device
     (different rng stream than HF, necessarily).
 
+    GROUP BEAM SEARCH (HF ``num_beam_groups > 1``, removed from transformers
+    4.57's GenerationMixin; semantics reconstructed from BeamSearchScorer —
+    still in-tree — and HammingDiversityLogitsProcessor): the nb beams split
+    into G groups of ng = nb/G processed SEQUENTIALLY within each step;
+    group g's log-probs are penalized by ``diversity_penalty`` times the
+    frequency of each token among the tokens groups 0..g-1 selected at this
+    step (including the pads done groups emit — an HF quirk). Each group
+    keeps its own hypothesis heap of capacity ng and its own done flag; the
+    final pool sorts the per-group-reduced candidates across groups. G = 1
+    reduces to the plain engine exactly.
+
     Returns (hyp_scores (b, nb), hyp_tokens (b, nb, max_new)) — finished
     hypotheses sorted best-first, pad-filled after each hypothesis's end.
     """
     nb = gen_cfg.num_beams
+    G = max(int(gen_cfg.num_beam_groups), 1)
+    ng = nb // G
+    div = float(gen_cfg.diversity_penalty)
     max_new = gen_cfg.max_new_tokens
     lp = float(gen_cfg.length_penalty)
     eos = tuple(gen_cfg.eos_token_id or ())
     pad = gen_cfg.pad_token_id
     neg_inf = jnp.float32(-1e9)
 
-    beam_scores0 = jnp.full((b, nb), -1e9, jnp.float32).at[:, 0].set(0.0)
+    # first beam of EACH group starts live (HF: beam_scores[:, ::num_sub_beams] = 0)
+    beam_scores0 = jnp.full((b, nb), -1e9, jnp.float32)
+    beam_scores0 = beam_scores0.at[:, :: ng].set(0.0)
     generated0 = jnp.full((b, nb, max_new), pad, jnp.int32)
-    hyp_scores0 = jnp.full((b, nb), -jnp.inf, jnp.float32)
-    hyp_tokens0 = jnp.full((b, nb, max_new), pad, jnp.int32)
-    done0 = jnp.zeros((b,), bool)
+    hyp_scores0 = jnp.full((b, G, ng), -jnp.inf, jnp.float32)
+    hyp_tokens0 = jnp.full((b, G, ng, max_new), pad, jnp.int32)
+    done0 = jnp.zeros((b, G), bool)
 
     if gen_cfg.do_sample and rng is None:
         rng = jax.random.PRNGKey(0)
@@ -800,85 +843,131 @@ def _beam_engine(
         cur_len = (step + 1).astype(jnp.float32)
         vocab = logprobs.shape[-1]
 
-        if gen_cfg.has_logits_processors:
-            # HF applies processors to the log-softmaxed scores in beam search
-            # (GenerationMixin._beam_search), per beam, before adding the
-            # cumulative beam scores.
-            hist = generated.reshape(b * nb, max_new)
-            n_prefix = 0
-            if prefix_ids is not None:
-                hist = jnp.concatenate([prefix_ids, hist], axis=1)
-                n_prefix = prefix_ids.shape[1]
-            logprobs = _process_scores(
-                logprobs, gen_cfg, hist, step + n_prefix, step
-            )
-
-        if gen_cfg.do_sample:
-            # HF beam_sample: warpers run on the beam-score-augmented scores
-            # per (batch*beam) row, then 2*nb candidates are multinomial-drawn
-            # (without replacement) from the flattened softmax and sorted by
-            # their warped score descending. Gumbel top-k == that multinomial.
-            scored = logprobs + beam_scores.reshape(b * nb)[:, None]
-            # HF passes min_tokens_to_keep=2 to every warper when beam-sampling
-            scored = _warp_logits(scored, gen_cfg, min_keep=2)
-            flat = scored.reshape(b, nb * vocab)
-            cur_rng, step_rng = jax.random.split(cur_rng)
-            gumbel = jax.random.gumbel(step_rng, flat.shape, flat.dtype)
-            _, top_idx = jax.lax.top_k(flat + gumbel, 2 * nb)
-            top_scores = jnp.take_along_axis(flat, top_idx, axis=1)
-            top_scores, order = jax.lax.top_k(top_scores, 2 * nb)  # sort desc
-            top_idx = jnp.take_along_axis(top_idx, order, axis=1)
-        else:
-            flat = (logprobs.reshape(b, nb, vocab) + beam_scores[:, :, None]).reshape(
-                b, nb * vocab
-            )
-            top_scores, top_idx = jax.lax.top_k(flat, 2 * nb)  # ties: lowest index first, like torch
-        top_tokens = (top_idx % vocab).astype(jnp.int32)
-        top_beams = (top_idx // vocab).astype(jnp.int32)
-        is_eos = _token_in_set(top_tokens, eos)  # (b, 2nb)
-
-        # --- live-beam selection: first nb non-eos candidates in rank order ---
-        valid = ~is_eos
-        slot = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
-        scatter_idx = jnp.where(valid & (slot < nb), slot, nb)  # nb == dropped
+        n_prefix = prefix_ids.shape[1] if prefix_ids is not None else 0
 
         def scat(buf, idx, val):
             return buf.at[idx].set(val, mode="drop")
 
-        next_scores = jax.vmap(scat)(jnp.zeros((b, nb), jnp.float32), scatter_idx, top_scores)
-        next_tokens = jax.vmap(scat)(jnp.zeros((b, nb), jnp.int32), scatter_idx, top_tokens)
-        next_indices = jax.vmap(scat)(jnp.zeros((b, nb), jnp.int32), scatter_idx, top_beams)
+        # Groups are processed SEQUENTIALLY (Python-unrolled; G is static):
+        # group g sees the token-frequency counts of groups 0..g-1's selected
+        # tokens this step. G == 1 runs the loop once over all nb beams.
+        counts = jnp.zeros((b, vocab), jnp.float32)
+        nx_scores, nx_tokens, nx_indices = [], [], []
+        new_hyp_scores_g, new_hyp_tokens_g, new_done_g, top1_g = [], [], [], []
+        for g in range(G):
+            gs = g * ng
+            lp_g = logprobs.reshape(b, nb, vocab)[:, gs : gs + ng]  # (b, ng, V)
+            done_g = done[:, g]
+            if G > 1 and g > 0 and div != 0.0:
+                # HammingDiversityLogitsProcessor runs FIRST in HF's chain
+                lp_g = lp_g - div * counts[:, None, :]
+            if gen_cfg.has_logits_processors:
+                # HF applies processors to the log-softmaxed scores in beam
+                # search, per beam, before adding the cumulative beam scores.
+                hist = generated[:, gs : gs + ng].reshape(b * ng, max_new)
+                if prefix_ids is not None:
+                    pref_g = prefix_ids.reshape(b, nb, -1)[:, gs : gs + ng]
+                    hist = jnp.concatenate(
+                        [pref_g.reshape(b * ng, -1), hist], axis=1
+                    )
+                lp_g = _process_scores(
+                    lp_g.reshape(b * ng, vocab), gen_cfg, hist, step + n_prefix, step
+                ).reshape(b, ng, vocab)
 
-        # done batches emit pads with zero scores (HF behavior)
-        next_scores = jnp.where(done[:, None], 0.0, next_scores)
-        next_tokens = jnp.where(done[:, None], pad, next_tokens)
-        next_indices = jnp.where(done[:, None], 0, next_indices)
+            if gen_cfg.do_sample:
+                # HF beam_sample (G == 1 enforced upstream): warpers run on the
+                # beam-score-augmented scores per (batch*beam) row, then 2*nb
+                # candidates are multinomial-drawn (without replacement) from
+                # the flattened softmax and sorted by their warped score
+                # descending. Gumbel top-k == that multinomial.
+                scored = lp_g.reshape(b * ng, vocab) + beam_scores.reshape(b * nb)[:, None]
+                # HF passes min_tokens_to_keep=2 to every warper when beam-sampling
+                scored = _warp_logits(scored, gen_cfg, min_keep=2)
+                flat = scored.reshape(b, ng * vocab)
+                cur_rng, step_rng = jax.random.split(cur_rng)
+                gumbel = jax.random.gumbel(step_rng, flat.shape, flat.dtype)
+                _, top_idx = jax.lax.top_k(flat + gumbel, 2 * ng)
+                top_scores = jnp.take_along_axis(flat, top_idx, axis=1)
+                top_scores, order = jax.lax.top_k(top_scores, 2 * ng)  # sort desc
+                top_idx = jnp.take_along_axis(top_idx, order, axis=1)
+            else:
+                flat = (lp_g + beam_scores[:, gs : gs + ng, None]).reshape(
+                    b, ng * vocab
+                )
+                top_scores, top_idx = jax.lax.top_k(flat, 2 * ng)  # ties: lowest index first, like torch
+            top_tokens = (top_idx % vocab).astype(jnp.int32)
+            top_beams = (top_idx // vocab).astype(jnp.int32)  # LOCAL to the group
+            is_eos = _token_in_set(top_tokens, eos)  # (b, 2ng)
 
-        # --- hypothesis heap: union(existing, this step's eos candidates) ---
-        # candidate sequences: source beam's tokens + the eos token at `step`
-        src_gen = jnp.take_along_axis(generated, top_beams[:, :, None], axis=1)  # (b,2nb,max_new)
-        cand_seq = jax.vmap(
-            lambda g, t: jax.vmap(lambda row, tok: row.at[step].set(tok))(g, t)
-        )(src_gen, top_tokens)
-        # HF only admits eos candidates from the first nb ranks, never for done batches
-        rank_ok = jax.lax.broadcasted_iota(jnp.int32, (b, 2 * nb), 1) < nb
-        cand_ok = is_eos & rank_ok & ~done[:, None]
-        cand_pen = jnp.where(cand_ok, top_scores / jnp.power(cur_len, lp), -jnp.inf)
+            # --- live-beam selection: first ng non-eos candidates in rank order ---
+            valid = ~is_eos
+            slot = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+            scatter_idx = jnp.where(valid & (slot < ng), slot, ng)  # ng == dropped
 
-        all_scores = jnp.concatenate([hyp_scores, cand_pen], axis=1)  # (b, 3nb)
-        all_seqs = jnp.concatenate([hyp_tokens, cand_seq], axis=1)  # (b, 3nb, max_new)
-        new_hyp_scores, sel = jax.lax.top_k(all_scores, nb)  # existing-first tie order
-        new_hyp_tokens = jnp.take_along_axis(all_seqs, sel[:, :, None], axis=1)
+            next_scores = jax.vmap(scat)(
+                jnp.zeros((b, ng), jnp.float32), scatter_idx, top_scores
+            )
+            next_tokens = jax.vmap(scat)(
+                jnp.zeros((b, ng), jnp.int32), scatter_idx, top_tokens
+            )
+            next_indices = jax.vmap(scat)(
+                jnp.zeros((b, ng), jnp.int32), scatter_idx, top_beams
+            )
 
-        # --- is_done (HF BeamHypotheses.is_done) ---
-        count = jnp.sum(new_hyp_scores > -jnp.inf, axis=1)
-        worst = new_hyp_scores[:, nb - 1]
-        if gen_cfg.early_stopping:
-            ready = count == nb
-        else:
-            attainable = top_scores[:, 0] / jnp.power(cur_len, lp)
-            ready = (count == nb) & (worst >= attainable)
-        new_done = done | ready
+            # done groups emit pads with zero scores (HF behavior) — and those
+            # pads DO enter later groups' diversity counts (HF quirk)
+            next_scores = jnp.where(done_g[:, None], 0.0, next_scores)
+            next_tokens = jnp.where(done_g[:, None], pad, next_tokens)
+            next_indices = jnp.where(done_g[:, None], 0, next_indices)
+            if G > 1:
+                counts = counts + jax.nn.one_hot(
+                    next_tokens, vocab, dtype=jnp.float32
+                ).sum(axis=1)
+
+            # --- hypothesis heap: union(existing, this step's eos candidates) ---
+            # candidate sequences: source beam's tokens + the eos token at `step`
+            gen_g = generated[:, gs : gs + ng]
+            src_gen = jnp.take_along_axis(gen_g, top_beams[:, :, None], axis=1)  # (b,2ng,max_new)
+            cand_seq = jax.vmap(
+                lambda gg, t: jax.vmap(lambda row, tok: row.at[step].set(tok))(gg, t)
+            )(src_gen, top_tokens)
+            # HF only admits eos candidates from the first ng ranks, never for done groups
+            rank_ok = jax.lax.broadcasted_iota(jnp.int32, (b, 2 * ng), 1) < ng
+            cand_ok = is_eos & rank_ok & ~done_g[:, None]
+            cand_pen = jnp.where(cand_ok, top_scores / jnp.power(cur_len, lp), -jnp.inf)
+
+            all_scores = jnp.concatenate([hyp_scores[:, g], cand_pen], axis=1)  # (b, 3ng)
+            all_seqs = jnp.concatenate([hyp_tokens[:, g], cand_seq], axis=1)  # (b, 3ng, max_new)
+            hyp_scores_g, sel = jax.lax.top_k(all_scores, ng)  # existing-first tie order
+            hyp_tokens_gg = jnp.take_along_axis(all_seqs, sel[:, :, None], axis=1)
+
+            # --- is_done (HF BeamHypotheses.is_done, per group) ---
+            count = jnp.sum(hyp_scores_g > -jnp.inf, axis=1)
+            worst = hyp_scores_g[:, ng - 1]
+            if gen_cfg.early_stopping:
+                ready = count == ng
+            else:
+                attainable = top_scores[:, 0] / jnp.power(cur_len, lp)
+                ready = (count == ng) & (worst >= attainable)
+
+            nx_scores.append(next_scores)
+            nx_tokens.append(next_tokens)
+            nx_indices.append(next_indices)
+            new_hyp_scores_g.append(hyp_scores_g)
+            new_hyp_tokens_g.append(hyp_tokens_gg)
+            new_done_g.append(done_g | ready)
+            top1_g.append(top_scores[:, 0])
+
+        next_scores = jnp.stack(nx_scores, axis=1).reshape(b, nb)
+        next_tokens = jnp.stack(nx_tokens, axis=1).reshape(b, nb)
+        # group-local -> beam-global source indices
+        next_indices = (
+            jnp.stack(nx_indices, axis=1)
+            + jnp.arange(G, dtype=jnp.int32)[None, :, None] * ng
+        ).reshape(b, nb)
+        new_hyp_scores = jnp.stack(new_hyp_scores_g, axis=1)  # (b, G, ng)
+        new_hyp_tokens = jnp.stack(new_hyp_tokens_g, axis=1)  # (b, G, ng, max_new)
+        new_done = jnp.stack(new_done_g, axis=1)  # (b, G)
 
         # --- advance live beams ---
         generated = jnp.take_along_axis(generated, next_indices[:, :, None], axis=1)
@@ -930,16 +1019,26 @@ def _beam_engine(
         cond, body, carry
     )
 
-    # finalize (HF BeamSearchScorer.finalize): batches that never finished add
-    # all nb live beams as hypotheses at the exit length
+    # finalize (HF BeamSearchScorer.finalize): groups that never finished add
+    # their ng live beams as hypotheses at the exit length; each group's heap
+    # keeps its best ng (BeamHypotheses capacity == group_size), THEN the
+    # groups' candidates pool per batch and sort best-first.
     gen_len = jnp.maximum(step, 1).astype(jnp.float32)
     live_pen = jnp.where(
-        done[:, None], -jnp.inf, beam_scores / jnp.power(gen_len, lp)
+        done[:, :, None],
+        -jnp.inf,
+        beam_scores.reshape(b, G, ng) / jnp.power(gen_len, lp),
     )
-    all_scores = jnp.concatenate([hyp_scores, live_pen], axis=1)
-    all_seqs = jnp.concatenate([hyp_tokens, generated], axis=1)
-    final_scores, sel = jax.lax.top_k(all_scores, nb)
-    final_tokens = jnp.take_along_axis(all_seqs, sel[:, :, None], axis=1)
+    all_scores = jnp.concatenate([hyp_scores, live_pen], axis=2)  # (b, G, 2ng)
+    all_seqs = jnp.concatenate(
+        [hyp_tokens, generated.reshape(b, G, ng, max_new)], axis=2
+    )
+    grp_scores, sel = jax.lax.top_k(all_scores, ng)  # per-group reduce
+    grp_tokens = jnp.take_along_axis(all_seqs, sel[:, :, :, None], axis=2)
+    pooled_scores = grp_scores.reshape(b, nb)
+    pooled_tokens = grp_tokens.reshape(b, nb, max_new)
+    final_scores, sel = jax.lax.top_k(pooled_scores, nb)
+    final_tokens = jnp.take_along_axis(pooled_tokens, sel[:, :, None], axis=1)
     return final_scores, final_tokens
 
 
@@ -1232,6 +1331,7 @@ def generate(
     if gen_cfg.eos_token_id is None:
         gen_cfg = gen_cfg.with_eos(cfg.text_config.eos_token_id)
     _validate_num_return_sequences(gen_cfg)
+    _validate_beam_groups(gen_cfg)
     if (
         gen_cfg.penalty_alpha
         and gen_cfg.penalty_alpha > 0

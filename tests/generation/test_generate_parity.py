@@ -325,6 +325,273 @@ def test_contrastive_custom_eos_and_t5_rejection(opt_setup):
         )
 
 
+def _torch_group_beam(model, ids, mask, pixel, vim, max_new, num_beams,
+                      num_groups, diversity, length_penalty, eos_ids, pad,
+                      num_return=1):
+    """Group (diverse) beam-search oracle over the reference model's torch
+    numerics. transformers 4.57 removed ``_group_beam_search`` from
+    GenerationMixin, but ``BeamSearchScorer`` and
+    ``HammingDiversityLogitsProcessor`` remain in-tree; this drives them with
+    the removed loop's exact control flow (group-sequential processing,
+    ``current_tokens`` frequency penalty, ``reordering_indices``). Cache-free
+    full forwards on the growing sequence (tiny model)."""
+    import torch.nn.functional as F
+    from transformers.generation.beam_search import BeamSearchScorer
+    from transformers.generation.logits_process import (
+        HammingDiversityLogitsProcessor,
+    )
+
+    b = ids.shape[0]
+    nb, G = num_beams, num_groups
+    ng = nb // G
+    with torch.no_grad():
+        image_embeds = model.vision_model(
+            torch.tensor(pixel), return_dict=True
+        ).last_hidden_state
+        image_attention_mask = torch.ones(image_embeds.size()[:-1], dtype=torch.long)
+        query_tokens = model.query_tokens.expand(image_embeds.shape[0], -1, -1)
+        query_output = model.qformer(
+            query_embeds=query_tokens,
+            encoder_hidden_states=image_embeds,
+            encoder_attention_mask=image_attention_mask,
+            return_dict=True,
+        ).last_hidden_state
+        video_features = model.language_projection(
+            query_output.view(pixel.shape[0] * model.config.num_query_tokens, -1)
+        )
+        embeds = model.get_input_embeddings()(torch.tensor(ids))
+        embeds[torch.tensor(vim).bool()] = video_features
+        lm = model.language_model
+        embeds = embeds.repeat_interleave(nb, dim=0)
+        attn = torch.tensor(mask).repeat_interleave(nb, dim=0)
+
+        scorer = BeamSearchScorer(
+            batch_size=b, num_beams=nb, device=torch.device("cpu"),
+            length_penalty=length_penalty, do_early_stopping=False,
+            num_beam_hyps_to_keep=num_return, num_beam_groups=G,
+            max_length=max_new,
+        )
+        div_proc = (
+            HammingDiversityLogitsProcessor(
+                diversity_penalty=diversity, num_beams=nb, num_beam_groups=G
+            )
+            if diversity
+            else None
+        )
+        eos_t = torch.tensor(list(eos_ids)) if eos_ids else None
+
+        input_ids = torch.zeros(b * nb, 0, dtype=torch.long)
+        beam_scores = torch.full((b, nb), -1e9, dtype=torch.float)
+        beam_scores[:, ::ng] = 0.0
+        beam_scores = beam_scores.view(-1)
+        next_tokens = next_indices = None
+        for _ in range(max_new):
+            out = lm(
+                inputs_embeds=embeds, attention_mask=attn,
+                return_dict=True, use_cache=False,
+            )
+            logits = out.logits[:, -1].float()
+            current_tokens = torch.zeros(b * nb, dtype=torch.long)
+            reordering = torch.zeros(b * nb, dtype=torch.long)
+            for g in range(G):
+                gs = g * ng
+                bgi = torch.tensor(
+                    [bi * nb + gs + i for bi in range(b) for i in range(ng)]
+                )
+                group_input_ids = input_ids[bgi]
+                scores = F.log_softmax(logits[bgi], dim=-1)
+                vocab = scores.shape[-1]
+                if div_proc is not None:
+                    scores = div_proc(
+                        group_input_ids, scores,
+                        current_tokens=current_tokens, beam_group_idx=g,
+                    )
+                scores = scores + beam_scores[bgi].unsqueeze(-1)
+                flat = scores.view(b, ng * vocab)
+                top_scores, top_idx = torch.topk(
+                    flat, 2 * ng, dim=1, largest=True, sorted=True
+                )
+                next_indices = torch.div(top_idx, vocab, rounding_mode="floor")
+                next_tokens = top_idx % vocab
+                bo = scorer.process(
+                    group_input_ids, top_scores, next_tokens, next_indices,
+                    pad_token_id=pad, eos_token_id=eos_t, group_index=g,
+                    decoder_prompt_len=0,
+                )
+                beam_scores[bgi] = bo["next_beam_scores"]
+                beam_idx = bo["next_beam_indices"].long()
+                beam_tok = bo["next_beam_tokens"].long()
+                input_ids[bgi] = group_input_ids[beam_idx]
+                group_input_ids = torch.cat(
+                    [group_input_ids[beam_idx], beam_tok.unsqueeze(-1)], dim=-1
+                )
+                current_tokens[bgi] = group_input_ids[:, -1]
+                reordering[bgi] = (
+                    nb * torch.div(beam_idx, ng, rounding_mode="floor")
+                    + gs + (beam_idx % ng)
+                )
+            input_ids = torch.cat([input_ids, current_tokens.unsqueeze(-1)], dim=-1)
+            embeds = embeds[reordering]
+            attn = attn[reordering]
+            embeds = torch.cat(
+                [embeds, lm.get_input_embeddings()(current_tokens[:, None])], dim=1
+            )
+            attn = torch.cat([attn, torch.ones(b * nb, 1, dtype=attn.dtype)], dim=1)
+            if scorer.is_done:
+                break
+        seq = scorer.finalize(
+            input_ids, beam_scores, next_tokens, next_indices,
+            max_length=max_new, pad_token_id=pad, eos_token_id=eos_t,
+            decoder_prompt_len=0,
+        )
+        return seq["sequences"].cpu().numpy()
+
+
+@pytest.mark.parametrize(
+    "num_beams,num_groups,diversity,length_penalty",
+    [(4, 2, 1.5, 1.0), (6, 3, 0.9, -1.0), (4, 4, 2.0, 1.0)],
+)
+def test_group_beam_token_identical(opt_setup, num_beams, num_groups, diversity,
+                                    length_penalty):
+    """Group (diverse) beam search: token-identical vs a torch oracle driving
+    HF's still-in-tree BeamSearchScorer + HammingDiversityLogitsProcessor
+    with the removed _group_beam_search control flow (see _torch_group_beam).
+    Exercises decoding._beam_engine's group-sequential selection, the
+    per-group hypothesis heaps, and the done-group pad-counting quirk."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    max_new = 8
+    pad = cfg.text_config.pad_token_id
+    eos = cfg.text_config.eos_token_id
+    ref = _torch_group_beam(
+        model, ids, mask, pixel, vim, max_new, num_beams, num_groups,
+        diversity, length_penalty, (eos,), pad,
+    )
+    ours = np.asarray(
+        generate(
+            m,
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            pixel_values=jnp.asarray(pixel),
+            video_input_mask=jnp.asarray(vim),
+            generation_config=GenerationConfig(
+                max_new_tokens=max_new,
+                num_beams=num_beams,
+                num_beam_groups=num_groups,
+                diversity_penalty=diversity,
+                length_penalty=length_penalty,
+                pad_token_id=pad,
+                eos_token_id=(eos,),
+            ),
+        )
+    )
+    n = min(ref.shape[1], ours.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], ref[:, :n])
+
+
+def test_group_beam_zero_diversity_equals_plain_subbeam(opt_setup):
+    """With diversity_penalty=0 the groups never interact: every group runs
+    the SAME ng-beam search, so group beam's best hypothesis equals plain
+    ng-beam search's best. Self-consistency of the grouped engine."""
+    model, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    max_new = 6
+    pad = cfg.text_config.pad_token_id
+    kw = dict(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+        pixel_values=jnp.asarray(pixel), video_input_mask=jnp.asarray(vim),
+    )
+    grouped = np.asarray(
+        generate(
+            m, {"params": params},
+            generation_config=GenerationConfig(
+                max_new_tokens=max_new, num_beams=4, num_beam_groups=2,
+                pad_token_id=pad,
+            ),
+            **kw,
+        )
+    )
+    plain = np.asarray(
+        generate(
+            m, {"params": params},
+            generation_config=GenerationConfig(
+                max_new_tokens=max_new, num_beams=2, pad_token_id=pad
+            ),
+            **kw,
+        )
+    )
+    n = min(grouped.shape[1], plain.shape[1])
+    np.testing.assert_array_equal(grouped[:, :n], plain[:, :n])
+
+
+def test_group_beam_validation_and_t5(opt_setup):
+    """HF's group-beam contract errors + the shared engine serves T5 too."""
+    _, cfg, params, m, ids, mask, pixel, vim = opt_setup
+    pad = cfg.text_config.pad_token_id
+    with pytest.raises(ValueError, match="divisible"):
+        generate(
+            m, {"params": params}, input_ids=jnp.asarray(ids),
+            generation_config=GenerationConfig(
+                max_new_tokens=2, num_beams=5, num_beam_groups=2, pad_token_id=pad
+            ),
+        )
+    with pytest.raises(ValueError, match="sampling"):
+        generate(
+            m, {"params": params}, input_ids=jnp.asarray(ids),
+            generation_config=GenerationConfig(
+                max_new_tokens=2, num_beams=4, num_beam_groups=2,
+                do_sample=True, pad_token_id=pad,
+            ),
+        )
+    with pytest.raises(ValueError, match="diversity_penalty"):
+        generate(
+            m, {"params": params}, input_ids=jnp.asarray(ids),
+            generation_config=GenerationConfig(
+                max_new_tokens=2, num_beams=4, diversity_penalty=1.0,
+                pad_token_id=pad,
+            ),
+        )
+
+    # T5: the seq2seq wrapper shares _beam_engine, so group beam works there
+    # too — zero-diversity self-consistency vs plain sub-beam search
+    from tests.models.hf_util import make_oracle
+
+    t5_model, t5_cfg, t5_params = make_oracle("t5")
+    t5 = VideoBlipForConditionalGeneration(t5_cfg)
+    rng = np.random.default_rng(3)
+    img = t5_cfg.vision_config.image_size
+    q = t5_cfg.num_query_tokens
+    t5_ids = rng.integers(4, t5_cfg.text_config.vocab_size, size=(2, 12))
+    t5_vim = np.zeros((2, 12), np.int64)
+    t5_vim[:, 1 : 1 + q] = 1
+    t5_pixel = rng.normal(size=(2, 3, 2, img, img)).astype(np.float32)
+    t5_kw = dict(
+        input_ids=jnp.asarray(t5_ids),
+        pixel_values=jnp.asarray(t5_pixel),
+        video_input_mask=jnp.asarray(t5_vim),
+    )
+    grouped = np.asarray(
+        generate(
+            t5, {"params": t5_params},
+            generation_config=GenerationConfig(
+                max_new_tokens=5, num_beams=4, num_beam_groups=2,
+                diversity_penalty=1.2, pad_token_id=t5_cfg.text_config.pad_token_id,
+            ),
+            **t5_kw,
+        )
+    )
+    plain = np.asarray(
+        generate(
+            t5, {"params": t5_params},
+            generation_config=GenerationConfig(
+                max_new_tokens=5, num_beams=2,
+                pad_token_id=t5_cfg.text_config.pad_token_id,
+            ),
+            **t5_kw,
+        )
+    )
+    assert grouped.shape[0] == plain.shape[0]  # runs end to end under grouping
+
+
 def test_sampling_runs_and_respects_vocab(opt_setup):
     _, cfg, params, m, ids, mask, pixel, vim = opt_setup
     out = np.asarray(

@@ -481,6 +481,12 @@ def test_from_json_new_keys_roundtrip():
     assert cfg.forced_bos_token_id == 1
     assert cfg.min_length == 4
     assert hash(cfg)  # stays hashable (jit static arg)
+    cfg = generation_config_from_json(
+        {"num_beams": 4, "num_beam_groups": 2, "diversity_penalty": 1.3},
+        pad_token_id=1,
+    )
+    assert cfg.num_beam_groups == 2 and cfg.diversity_penalty == 1.3
+    assert hash(cfg)
 
 
 def test_from_json_max_length_precedence():
@@ -524,7 +530,7 @@ def test_from_json_default_max_new():
 
 def test_from_json_rejects_unsupported():
     with pytest.raises(ValueError, match="not implemented.*supported keys"):
-        generation_config_from_json({"diversity_penalty": 0.5}, pad_token_id=1)
+        generation_config_from_json({"force_words_ids": [[3]]}, pad_token_id=1)
     with pytest.raises(ValueError, match="not a recognized.*supported keys"):
         generation_config_from_json({"nonsense_key": 3}, pad_token_id=1)
 
