@@ -173,6 +173,36 @@ class T5Attention(nn.Module):
         ctx = jnp.einsum("bchls,bshd->bclhd", probs, v)
         return self.o(ctx.reshape(b, c, l, cfg.inner_dim))
 
+    def shared_prefix(
+        self,
+        hidden: jax.Array,
+        prefix_k: jax.Array,
+        prefix_v: jax.Array,
+        prefix_bias: jax.Array,
+        self_bias: jax.Array,
+    ) -> jax.Array:
+        """Attention for (B, C, L) continuation tokens over a shared (B, P)
+        cached decoder prefix (read-only, never duplicated across C) PLUS
+        causal self-attention within each continuation — the T5 analogue of
+        OPTAttention.shared_prefix (contrastive search's candidate expansion
+        is this op with C = top_k, L = 1). prefix_bias broadcastable to
+        (B, C, H, L, P); self_bias to (B, C, H, L, L). No scaling (T5)."""
+        cfg = self.config
+        b, c, l, _ = hidden.shape
+        nh, hd = cfg.num_heads, cfg.d_kv
+        q = self.q(hidden).reshape(b, c, l, nh, hd)
+        k = self.k(hidden).reshape(b, c, l, nh, hd)
+        v = self.v(hidden).reshape(b, c, l, nh, hd)
+        scores_p = jnp.einsum("bclhd,bphd->bchlp", q, prefix_k) + prefix_bias.astype(q.dtype)
+        scores_s = jnp.einsum("bclhd,bcmhd->bchlm", q, k) + self_bias.astype(q.dtype)
+        scores = jnp.concatenate([scores_p, scores_s], axis=-1).astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(hidden.dtype)
+        p = prefix_k.shape[1]
+        ctx = jnp.einsum("bchlp,bphd->bclhd", probs[..., :p], prefix_v) + jnp.einsum(
+            "bchlm,bcmhd->bclhd", probs[..., p:], v
+        )
+        return self.o(ctx.reshape(b, c, l, cfg.inner_dim))
+
     def cross_attend(
         self, hidden_states: jax.Array, k: jax.Array, v: jax.Array,
         padding_mask: Optional[jax.Array]
@@ -241,6 +271,11 @@ class T5SelfAttentionLayer(nn.Module):
 
     def classes(self, x, bias):
         return x + self.attention.self_classes(self.layer_norm(x), bias)
+
+    def shared_prefix(self, x, prefix_k, prefix_v, prefix_bias, self_bias):
+        return x + self.attention.shared_prefix(
+            self.layer_norm(x), prefix_k, prefix_v, prefix_bias, self_bias
+        )
 
 
 class T5CrossAttentionLayer(nn.Module):
@@ -313,6 +348,13 @@ class T5DecoderLayer(nn.Module):
 
     def classes(self, x, self_bias, cross_k, cross_v, enc_bias):
         x = self.self_attention.classes(x, self_bias)
+        x = self.cross_attention.classes(x, cross_k, cross_v, enc_bias)
+        return self.ff(x)
+
+    def shared_prefix(
+        self, x, prefix_k, prefix_v, prefix_bias, self_bias, cross_k, cross_v, enc_bias
+    ):
+        x = self.self_attention.shared_prefix(x, prefix_k, prefix_v, prefix_bias, self_bias)
         x = self.cross_attention.classes(x, cross_k, cross_v, enc_bias)
         return self.ff(x)
 
@@ -559,6 +601,46 @@ class T5Decoder(nn.Module):
         new_cache["v"] = v_buf
         return x, new_cache
 
+    def candidates(
+        self,
+        cand_embeds: jax.Array,  # (B, C, 1, D) — C candidate tokens, same position
+        encoder_attention_mask: Optional[jax.Array],
+        cache: Cache,
+    ) -> jax.Array:
+        """Contrastive-search candidate expansion over the decode cache: C
+        single-token candidates all at decoder position ``index``, read-only
+        against the shared self cache + cached cross K/V (no duplication, no
+        commitment). Returns post-final-norm hidden (B, C, 1, D) — HF's
+        ``decoder_hidden_states[-1]`` for each candidate."""
+        from ..ops.attention import mask_to_bias
+
+        b, c, l, _ = cand_embeds.shape
+        index = cache["index"]
+        max_len = cache["k"].shape[2]
+        rel = self.layers[0].self_attention.attention
+        slot_pos = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+        filled = (slot_pos < index).astype(bool)  # contiguous decode prefix
+        # (1, 1, H, 1, P) relative bias for a query at token position `index`
+        # + (B, 1, 1, 1, P) unfilled-slot mask
+        prefix_bias = (
+            rel.compute_bias(1, max_len, q_offset=index)[0][None, None].astype(jnp.float32)
+            + mask_to_bias(jnp.broadcast_to(filled, (b, max_len)))[:, None, None, None, :]
+        )
+        # each candidate attends itself at distance 0
+        self_bias = rel.compute_bias(1, 1)[0][None, None].astype(jnp.float32)
+        if encoder_attention_mask is not None:
+            enc_bias = mask_to_bias(encoder_attention_mask.astype(bool))[:, None, None, None, :]
+        else:
+            enc_bias = jnp.zeros((b, 1, 1, 1, cache["cross_k"].shape[2]), jnp.float32)
+
+        x = cand_embeds
+        for i, layer in enumerate(self.layers):
+            x = layer.shared_prefix(
+                x, cache["k"][i], cache["v"][i], prefix_bias, self_bias,
+                cache["cross_k"][i], cache["cross_v"][i], enc_bias,
+            )
+        return self.final_layer_norm(x)
+
     def make_cross_kv(self, encoder_hidden: jax.Array) -> tuple[jax.Array, jax.Array]:
         ks, vs = [], []
         for layer in self.layers:
@@ -710,6 +792,33 @@ class T5ForConditionalGeneration(nn.Module):
             dec_embeds, encoder_hidden, encoder_attention_mask, cache=cache
         )
         return self._head(hidden), new_cache
+
+    def decode_step_hidden(
+        self,
+        decoder_input_ids: jax.Array,
+        encoder_hidden: jax.Array,
+        encoder_attention_mask: Optional[jax.Array],
+        cache: Cache,
+    ) -> tuple[jax.Array, jax.Array, Cache]:
+        """decode_step that also returns the post-final-norm decoder hidden
+        (HF ``decoder_hidden_states[-1]``) — contrastive search's context."""
+        dec_embeds = self.shared(decoder_input_ids)
+        hidden, new_cache = self.decoder(
+            dec_embeds, encoder_hidden, encoder_attention_mask, cache=cache
+        )
+        return self._head(hidden), hidden, new_cache
+
+    def candidates(
+        self,
+        cand_ids: jax.Array,  # (B, C) candidate tokens, same decoder position
+        encoder_attention_mask: Optional[jax.Array],
+        cache: Cache,
+    ) -> jax.Array:
+        """(B, C, D) post-final-norm hidden for C candidate continuations over
+        the shared decode cache (contrastive-search expansion)."""
+        emb = self.shared(cand_ids)[:, :, None, :]  # (B, C, 1, D)
+        hidden = self.decoder.candidates(emb, encoder_attention_mask, cache)
+        return hidden[:, :, 0]
 
     def decode_append(
         self,
